@@ -1,0 +1,153 @@
+"""User-facing API: ``spamtree()`` fit+predict in one MCMC run.
+
+Mirrors the reference front-end surface (reference: R/spamtree_fit.R:1-371):
+same knobs (cell_size, K, start_level, tree_depth, last_not_reference,
+limited_tree, cherrypick options, mvbias, mcmc/settings/prior/starting/debug
+lists) and the same return fields (w_mcmc, yhat_mcmc, beta_mcmc, tausq_mcmc,
+theta_mcmc, paramsd, mcmc_time, coordsinfo).
+
+Fixes applied deliberately relative to the reference (SURVEY.md §7):
+``prior$beta`` / ``prior$tausq`` are honored (the reference computed them but
+hardcoded Vi=.01I and a=2.01; spamtree_fit.R:160-170 vs spamtree_model.cpp:157,
+1401), and ``starting$w`` is honored (ignored upstream, spamtree_fit.R:264).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from spamtree_tpu.model.core import ModelStatic
+from spamtree_tpu.model.mcmc import MCMCConfig, init_state, run_mcmc
+from spamtree_tpu.model.params import make_theta_spec
+from spamtree_tpu.tree.partition import make_tree
+from spamtree_tpu.tree.schedule import build_schedule
+
+
+def spamtree(
+    y,
+    x,
+    coords,
+    mv_id=None,
+    cell_size=25,
+    K=2,
+    start_level=0,
+    tree_depth=np.inf,
+    last_not_reference=True,
+    limited_tree=False,
+    cherrypick_same_margin=True,
+    cherrypick_group_locations=True,
+    mvbias=0.0,
+    mcmc=None,
+    verbose=False,
+    settings=None,
+    prior=None,
+    starting=None,
+    debug=None,
+    dtype=jnp.float32,
+    seed=1,
+):
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    coords = np.asarray(coords, dtype=np.float64)
+    n, dd = coords.shape
+    if mv_id is None:
+        mv_id = np.ones(n, dtype=np.int64)
+    mv_id = np.asarray(mv_id, dtype=np.int64)
+    uniq = np.unique(mv_id)
+    q = len(uniq)
+    mv0 = np.searchsorted(uniq, mv_id)  # 0-based margin ids
+
+    mcmc = dict(keep=1000, burn=0, thin=1) | (mcmc or {})
+    settings = dict(adapting=True, mcmcsd=0.01) | (settings or {})
+    prior = dict(
+        set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
+        beta=None, tausq=None,
+    ) | (prior or {})
+    starting = dict(beta=None, tausq=None, theta=None, w=None) | (starting or {})
+    debug = dict(
+        sample_beta=True, sample_tausq=True, sample_theta=True,
+        sample_w=True, sample_predicts=True,
+    ) | (debug or {})
+
+    # sort rows by coordinates then original index (reference: spamtree_fit.R:214)
+    order = np.lexsort(
+        tuple([np.arange(n)] + [coords[:, j] for j in range(dd - 1, -1, -1)])
+    )
+    ys, xs, cs, mvs = y[order], x[order], coords[order], mv0[order]
+    na_which = np.isfinite(ys)
+
+    if np.isscalar(cell_size):
+        axis_size = int(round(cell_size ** (1.0 / dd)))
+    else:
+        axis_size = np.asarray(cell_size)
+
+    rng = np.random.default_rng(seed)
+    tree = make_tree(
+        cs, na_which, mvs,
+        axis_cell_size=axis_size, K=K, start_level=start_level,
+        tree_depth=tree_depth, last_not_reference=last_not_reference,
+        limited_tree=limited_tree,
+        cherrypick_same_margin=cherrypick_same_margin,
+        cherrypick_group_locations=cherrypick_group_locations,
+        mvbias=mvbias, rng=rng, verbose=verbose,
+    )
+    sched = build_schedule(tree, limited_tree=limited_tree)
+
+    tspec = make_theta_spec(
+        dd, q,
+        btmlim=prior["btmlim"] if prior["btmlim"] is not None else 1e-3,
+        toplim=prior["toplim"] if prior["toplim"] is not None else 1e3,
+        vlim=prior["vlim"],
+        set_unif_bounds=prior["set_unif_bounds"],
+        start_theta=starting["theta"],
+    )
+
+    ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=dtype)
+    beta_Vi_scale = 0.01 if prior["beta"] is None else float(prior["beta"])
+    tausq_ab = (2.01, 1.0) if prior["tausq"] is None else tuple(prior["tausq"])
+    cfg = MCMCConfig(
+        keep=mcmc["keep"], burn=mcmc["burn"], thin=mcmc["thin"],
+        adapting=settings["adapting"], mcmcsd=settings["mcmcsd"],
+        tausq_ab=tausq_ab, beta_Vi_scale=beta_Vi_scale,
+        sample_beta=debug["sample_beta"], sample_tausq=debug["sample_tausq"],
+        sample_theta=debug["sample_theta"], sample_w=debug["sample_w"],
+        sample_predicts=debug["sample_predicts"],
+    )
+    start_w = starting["w"]
+    if start_w is not None:
+        start_w = np.asarray(start_w).reshape(-1)[order]
+    state = init_state(
+        ms, tspec.bounds, tspec.start,
+        start_beta=starting["beta"],
+        start_tausq=(0.1 if starting["tausq"] is None else float(starting["tausq"])),
+        start_w=start_w,
+        cfg=cfg, seed=seed,
+    )
+    res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose)
+
+    out = {
+        "coords": cs,
+        "mv_id": mv_id[order],
+        "order": order,  # maps sorted-row outputs back: original row order[i]
+        "coordsinfo": {
+            "coords": cs,
+            "block": tree.block_of_row,
+            "res": tree.res_of_row,
+        },
+        "w_mcmc": res["w"],  # (keep, n) sorted-row order
+        "yhat_mcmc": res["yhat"],
+        "beta_mcmc": np.moveaxis(res["beta"], 0, 1),  # (p, keep, q)
+        "tausq_mcmc": res["tausq"].T,  # (q, keep)
+        "theta_mcmc": res["theta"].T,  # (n_theta, keep)
+        "paramsd": res["paramsd"],
+        "mcmc_time": res["mcmc_time"],
+        "accept_ratio": res["accept_ratio"],
+        "block_ct_obs": tree.block_ct_obs,
+        "tree": tree,
+        "schedule": sched,
+        "theta_bounds": tspec.bounds,
+    }
+    return out

@@ -1,0 +1,381 @@
+"""SpamTree model core: batched level-synchronous sweeps in pure JAX.
+
+TPU-native equivalent of class ``SpamTreeMV`` (reference:
+src/spamtree_model.h:22-212, src/spamtree_model.cpp).  Where the reference
+loops OpenMP threads over blocks within a tree level, here every level is one
+dense batched computation over padded block arrays (see
+``spamtree_tpu.tree.schedule``), and the level loop is unrolled inside jit:
+
+* likelihood sweep  -> ``sweep``        (reference: get_loglik_comps_w_std,
+                                         spamtree_model.cpp:834-998)
+* cheap re-loglik   -> ``quad_loglik``  (get_loglik_w_std, .cpp:781-826)
+* latent w Gibbs    -> ``gibbs_w``      (gibbs_sample_w_std, .cpp:1011-1226)
+* prediction        -> ``predict``      (predict_std, .cpp:1234-1358)
+* beta Gibbs        -> ``gibbs_beta``   (gibbs_sample_beta, .cpp:1364-1391)
+* tausq Gibbs       -> ``gibbs_tausq``  (gibbs_sample_tausq, .cpp:1393-1417)
+
+Cholesky failure never raises: validity flags are carried and a failed
+theta-proposal sweep auto-rejects, mirroring the reference's try/catch ->
+``errtype`` -> reject flow (.cpp:875-877, 971-982).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spamtree_tpu.ops.covariance import (
+    CovModel,
+    pairwise_cov,
+    pairwise_cov_diag,
+    unpack_theta,
+)
+from spamtree_tpu.ops.linalg import chol_masked, identity_pad, tri_inv, tri_solve
+from spamtree_tpu.tree.schedule import Schedule
+
+
+class LevelArrays(NamedTuple):
+    """Static per-level device arrays (int32 indices, bool masks)."""
+
+    rows: jax.Array  # (B, S) sentinel n
+    prows: jax.Array  # (B, P) sentinel n
+    rmask: jax.Array  # (B, S)
+    pmask: jax.Array  # (B, P)
+    lp_pos: jax.Array  # (B,)
+    pblock: jax.Array  # (B, P) sentinel n_blocks
+    ppos: jax.Array  # (B, P)
+    block_ids: jax.Array  # (B,)
+
+
+class LevelData(NamedTuple):
+    """Per-level theta-dependent state (the param_data analog,
+    reference: src/tree_utils.h:63-102)."""
+
+    H: jax.Array  # (B, S, P) conditional mean operator w_cond_mean_K
+    prec: jax.Array  # (B, S, S) ref levels / (B, S) thin levels
+
+
+class ModelStatic:
+    """All static data + schedule, ready for the jitted samplers."""
+
+    def __init__(
+        self,
+        sched: Schedule,
+        coords: np.ndarray,
+        mv_id: np.ndarray,
+        y: np.ndarray,
+        X: np.ndarray,
+        spec: CovModel,
+        dtype=jnp.float32,
+        block_multiple: int = 1,
+    ):
+        n = sched.n
+        self.sched = sched
+        self.spec = spec
+        self.dtype = dtype
+        self.n = n
+        self.p = X.shape[1]
+        self.q = spec.q
+
+        obs = np.isfinite(np.asarray(y, dtype=np.float64))
+        y0 = np.where(obs, y, 0.0)
+        self.coords = jnp.asarray(
+            np.vstack([coords, np.zeros((1, coords.shape[1]))]), dtype=dtype
+        )
+        self.mv = jnp.asarray(np.append(mv_id, 0), dtype=jnp.int32)
+        self.y = jnp.asarray(np.append(y0, 0.0), dtype=dtype)
+        self.X = jnp.asarray(X, dtype=dtype)
+        self.obs_mask = jnp.asarray(obs, dtype=dtype)  # (n,)
+        self.mv_onehot_obs = jnp.asarray(
+            (mv_id[:, None] == np.arange(spec.q)[None, :]) & obs[:, None], dtype=dtype
+        )  # (n, q)
+        self.mv_onehot = jnp.asarray(
+            mv_id[:, None] == np.arange(spec.q)[None, :], dtype=dtype
+        )
+        self.n_obs_by_q = np.asarray(
+            [(obs & (mv_id == j)).sum() for j in range(spec.q)], dtype=np.float64
+        )
+        # X'X on observed rows per margin (reference: spamtree_model.cpp:151-155)
+        XtX = np.stack(
+            [
+                (np.asarray(X)[obs & (mv_id == j)].T @ np.asarray(X)[obs & (mv_id == j)])
+                for j in range(spec.q)
+            ]
+        )
+        self.XtX = jnp.asarray(XtX, dtype=dtype)
+
+        def _conv(plan) -> LevelArrays:
+            B = plan.rows.shape[0]
+            pad = (-B) % block_multiple  # whole dummy blocks for even sharding
+            nb = sched.n_blocks
+
+            def _padB(a, fill):
+                if pad == 0:
+                    return a
+                ext = np.full((pad,) + a.shape[1:], fill, dtype=a.dtype)
+                return np.concatenate([a, ext], axis=0)
+
+            rows = _padB(plan.rows, n)
+            prows = _padB(plan.prows, n)
+            return LevelArrays(
+                rows=jnp.asarray(rows, dtype=jnp.int32),
+                prows=jnp.asarray(prows, dtype=jnp.int32),
+                rmask=jnp.asarray(rows < n),
+                pmask=jnp.asarray(prows < n),
+                lp_pos=jnp.asarray(_padB(plan.lp_pos, 0), dtype=jnp.int32),
+                pblock=jnp.asarray(_padB(plan.pblock, nb), dtype=jnp.int32),
+                ppos=jnp.asarray(_padB(plan.ppos, 0), dtype=jnp.int32),
+                block_ids=jnp.asarray(_padB(plan.block_ids, nb), dtype=jnp.int32),
+            )
+
+        self.levels = [_conv(p) for p in sched.levels]
+        self.level_is_ref = [p.is_ref for p in sched.levels]
+        self.level_lp = [p.lp_level for p in sched.levels]
+        self.pred_arrays = _conv(sched.pred) if sched.pred is not None else None
+        # which sweep levels must emit a joint factor (used by a later level)
+        used = {p.lp_level for p in sched.levels if p.lp_level >= 0}
+        self.serves_as_parent = [t in used for t in range(len(sched.levels))]
+
+    # mv id per padded row index, sentinel -> margin 0 (always masked out)
+    def tausq_long(self, tausq_inv):
+        """(n+1,) per-row noise precision; sentinel slot = 0."""
+        t = tausq_inv[self.mv]
+        return t.at[self.n].set(0.0)
+
+
+def _bcov(ms: ModelStatic, params, cx1, mv1, cx2, mv2):
+    """vmapped pairwise covariance over a leading block-batch axis."""
+    return jax.vmap(lambda a, b, c, d: pairwise_cov(a, b, c, d, params, ms.spec))(
+        cx1, mv1, cx2, mv2
+    )
+
+
+def sweep(ms: ModelStatic, theta, w):
+    """Full root->leaf likelihood sweep for a theta value.
+
+    Returns (leveldata tuple, logdetCi scalar, ok flag).  The propagated
+    identity-padded joint inverse-Cholesky factors replace the reference's
+    ``invchol_block_inplace_direct`` nested-ancestor update
+    (spamtree_model.cpp:900-907).
+    """
+    params = unpack_theta(theta.astype(ms.dtype), ms.spec)
+    leveldata = []
+    logdet = jnp.zeros((), dtype=ms.dtype)
+    ok = jnp.array(True)
+    joints = {}
+
+    for t, lvl in enumerate(ms.levels):
+        B, S = lvl.rows.shape
+        P = lvl.prows.shape[1]
+        cxr = ms.coords[lvl.rows]
+        mvr = ms.mv[lvl.rows]
+        if P > 0:
+            cxp = ms.coords[lvl.prows]
+            mvp = ms.mv[lvl.prows]
+            Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+            Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+            LAi = joints[ms.level_lp[t]][lvl.lp_pos]  # (B, P, P)
+            M = LAi @ Kxc  # (B, P, S)
+            H = jnp.einsum("bps,bpq->bsq", M, LAi)  # Kxc' LAi' LAi
+        else:
+            Kxc = None
+            M = None
+            H = jnp.zeros((B, S, 0), dtype=ms.dtype)
+
+        if ms.level_is_ref[t]:
+            Kcc = _bcov(ms, params, cxr, mvr, cxr, mvr)
+            Rcc = identity_pad(Kcc, lvl.rmask)
+            if P > 0:
+                Rcc = Rcc - jnp.einsum("bps,bpt->bst", M, M)
+            L, okl = chol_masked(Rcc, lvl.rmask)
+            Rinv = tri_inv(L)
+            prec = jnp.einsum("bks,bkt->bst", Rinv, Rinv)
+            logdet = logdet + jnp.sum(
+                jnp.log(jnp.diagonal(Rinv, axis1=-2, axis2=-1))
+            )
+            ok = ok & jnp.all(okl)
+            if ms.serves_as_parent[t]:
+                Q = P + S
+                J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
+                if P > 0:
+                    J = J.at[:, :P, :P].set(LAi)
+                    J = J.at[:, P:, :P].set(-jnp.einsum("bst,btp->bsp", Rinv, H))
+                J = J.at[:, P:, P:].set(Rinv)
+                joints[t] = J
+            leveldata.append(LevelData(H=H, prec=prec))
+        else:
+            kdiag = jax.vmap(lambda a, b: pairwise_cov_diag(a, b, params, ms.spec))(
+                cxr, mvr
+            )
+            hk = jnp.einsum("bsp,bps->bs", H, Kxc) if P > 0 else 0.0
+            r = jnp.where(lvl.rmask, kdiag - hk, 1.0)
+            okl = jnp.isfinite(r) & (r > 0)
+            ok = ok & jnp.all(okl)
+            r = jnp.where(okl, r, 1.0)
+            prec = 1.0 / r
+            logdet = logdet + (-0.5) * jnp.sum(
+                jnp.where(lvl.rmask, jnp.log(r), 0.0)
+            )
+            leveldata.append(LevelData(H=H, prec=prec))
+
+    return tuple(leveldata), logdet, ok
+
+
+def quad_loglik(ms: ModelStatic, leveldata, w):
+    """-0.5 * sum of block quadratic forms (wcore) under the stored factors.
+
+    Equivalent of ``get_loglik_w_std`` minus the theta-independent constant
+    (reference: spamtree_model.cpp:781-826).
+    """
+    total = jnp.zeros((), dtype=ms.dtype)
+    for t, lvl in enumerate(ms.levels):
+        data = leveldata[t]
+        P = lvl.prows.shape[1]
+        w_x = w[lvl.rows]
+        if P > 0:
+            w_x = w_x - jnp.einsum("bsp,bp->bs", data.H, w[lvl.prows])
+        if ms.level_is_ref[t]:
+            total = total - 0.5 * jnp.einsum("bs,bst,bt->", w_x, data.prec, w_x)
+        else:
+            total = total - 0.5 * jnp.sum(data.prec * w_x * w_x)
+    return total
+
+
+def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key):
+    """Leaf->root blocked Gibbs update of w with child->parent scatter-add
+    message accumulation (reference: gibbs_sample_w_std,
+    spamtree_model.cpp:1011-1226)."""
+    n, nb, Smax = ms.n, ms.sched.n_blocks, ms.sched.Smax
+    tl = ms.tausq_long(tausq_inv)
+    bigz = jax.random.normal(key, (n + 1,), dtype=ms.dtype)
+    acc_Sigi = jnp.zeros((nb + 1, Smax, Smax), dtype=ms.dtype)
+    acc_Smu = jnp.zeros((nb + 1, Smax), dtype=ms.dtype)
+
+    for t in reversed(range(len(ms.levels))):
+        lvl = ms.levels[t]
+        data = leveldata[t]
+        B, S = lvl.rows.shape
+        P = lvl.prows.shape[1]
+        wpar = w[lvl.prows]  # (B, P)
+        z = bigz[lvl.rows]
+        ti = tl[lvl.rows]
+        resid = ti * (ms.y[lvl.rows] - XB[lvl.rows])
+
+        if ms.level_is_ref[t]:
+            Sigi = data.prec + acc_Sigi[lvl.block_ids][:, :S, :S]
+            Sigi = Sigi + ti[:, :, None] * jnp.eye(S, dtype=ms.dtype)
+            Lg, _ = chol_masked(Sigi, lvl.rmask)
+            prior_mean = jnp.einsum("bsp,bp->bs", data.H, wpar) if P > 0 else 0.0
+            Smu = (
+                jnp.einsum("bst,bt->bs", data.prec, prior_mean)
+                if P > 0
+                else jnp.zeros((B, S), dtype=ms.dtype)
+            )
+            Smu = Smu + acc_Smu[lvl.block_ids][:, :S] + resid
+            tmp = tri_solve(Lg, Smu[..., None])
+            wu = tri_solve(Lg, tmp + z[..., None], trans=True)[..., 0]
+        else:
+            sig = data.prec + ti
+            hw = jnp.einsum("bsp,bp->bs", data.H, wpar) if P > 0 else 0.0
+            smu = data.prec * hw + resid
+            wu = smu / sig + z / jnp.sqrt(sig)
+        wu = jnp.where(lvl.rmask, wu, 0.0)
+        w = w.at[lvl.rows].set(wu)
+
+        if P > 0:
+            # push Gibbs messages to every parent (reference: .cpp:1158-1210)
+            if ms.level_is_ref[t]:
+                AK = jnp.einsum("bsp,bst->bpt", data.H, data.prec)  # (B, P, S)
+            else:
+                AK = jnp.einsum("bsp,bs->bps", data.H, data.prec)
+            G = jnp.einsum("bps,bsq->bpq", AK, data.H)
+            valid = lvl.pmask
+            same = (
+                (lvl.pblock[:, :, None] == lvl.pblock[:, None, :])
+                & valid[:, :, None]
+                & valid[:, None, :]
+            )
+            G_same = jnp.where(same, G, 0.0)
+            msg = (
+                jnp.einsum("bps,bs->bp", AK, wu)
+                - jnp.einsum("bpq,bq->bp", G, wpar)
+                + jnp.einsum("bpq,bq->bp", G_same, wpar)
+            )
+            msg = jnp.where(valid, msg, 0.0)
+            acc_Sigi = acc_Sigi.at[
+                lvl.pblock[:, :, None], lvl.ppos[:, :, None], lvl.ppos[:, None, :]
+            ].add(G_same)
+            acc_Smu = acc_Smu.at[lvl.pblock, lvl.ppos].add(msg)
+
+    return w
+
+
+def predict(ms: ModelStatic, theta, w, key):
+    """Conditional-normal draws at all-missing blocks
+    (reference: predict_std, spamtree_model.cpp:1234-1358).
+
+    Recomputes the parents' joint covariance directly per kept iteration
+    instead of persisting propagated factors -- mathematically identical to
+    the reference's lazily-updated ``Kxx_inv(u_par)`` path (.cpp:1274-1296)
+    and cheap on TPU."""
+    if ms.pred_arrays is None:
+        return w
+    params = unpack_theta(theta.astype(ms.dtype), ms.spec)
+    lvl = ms.pred_arrays
+    cxp = ms.coords[lvl.prows]
+    mvp = ms.mv[lvl.prows]
+    cxr = ms.coords[lvl.rows]
+    mvr = ms.mv[lvl.rows]
+    Kxx = _bcov(ms, params, cxp, mvp, cxp, mvp)
+    Kxx = Kxx * (lvl.pmask[:, :, None] & lvl.pmask[:, None, :])
+    L, _ = chol_masked(Kxx, lvl.pmask)
+    Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+    Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+    M = tri_solve(L, Kxc)  # (B, P, S)
+    u = tri_solve(L, w[lvl.prows][..., None])[..., 0]
+    mean = jnp.einsum("bps,bp->bs", M, u)
+    kdiag = jax.vmap(lambda a, b: pairwise_cov_diag(a, b, params, ms.spec))(cxr, mvr)
+    r = kdiag - jnp.einsum("bps,bps->bs", M, M)
+    r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
+    z = jax.random.normal(key, mean.shape, dtype=ms.dtype)
+    wu = jnp.where(lvl.rmask, mean + jnp.sqrt(r) * z, 0.0)
+    return w.at[lvl.rows].set(wu)
+
+
+def gibbs_tausq(ms: ModelStatic, w, XB, key, tausq_ab):
+    """Conjugate Gamma update of noise precisions per margin
+    (reference: gibbs_sample_tausq, spamtree_model.cpp:1393-1417)."""
+    resid = ms.y[: ms.n] - XB[: ms.n] - w[: ms.n]
+    r2 = jnp.einsum("i,ij->j", resid * resid, ms.mv_onehot_obs)
+    a = jnp.asarray(tausq_ab[0] + ms.n_obs_by_q / 2.0, dtype=ms.dtype)
+    scale = 1.0 / (tausq_ab[1] + 0.5 * r2)
+    g = jax.random.gamma(key, a, dtype=ms.dtype)
+    return g * scale
+
+
+def gibbs_beta(ms: ModelStatic, w, tausq_inv, key, beta_Vi, beta_Vim):
+    """Conjugate Normal update of regression coefficients per margin
+    (reference: gibbs_sample_beta, spamtree_model.cpp:1364-1391)."""
+    p, q = ms.p, ms.q
+    yw = ms.y[: ms.n] - w[: ms.n]
+    # (p, q): X' ((y - w) masked to observed margin j)
+    Xty = jnp.einsum("ip,ij->pj", ms.X, yw[:, None] * ms.mv_onehot_obs)
+    betas = []
+    zs = jax.random.normal(key, (p, q), dtype=ms.dtype)
+    for j in range(q):
+        Si = tausq_inv[j] * ms.XtX[j] + beta_Vi
+        L = jnp.linalg.cholesky(Si)
+        rhs = beta_Vim + tausq_inv[j] * Xty[:, j]
+        mu = jax.scipy.linalg.cho_solve((L, True), rhs)
+        bj = mu + jax.lax.linalg.triangular_solve(
+            L, zs[:, j][:, None], left_side=True, lower=True, transpose_a=True
+        )[:, 0]
+        betas.append(bj)
+    beta = jnp.stack(betas, axis=1)  # (p, q)
+    XBq = ms.X @ beta  # (n, q)
+    XB = jnp.sum(XBq * ms.mv_onehot, axis=1)
+    XB = jnp.append(XB, jnp.zeros((1,), dtype=ms.dtype))
+    return beta, XB

@@ -1,0 +1,237 @@
+"""Jit-compiled MCMC loop for the SpamTree model.
+
+Equivalent of the reference driver ``spamtree_mv_mcmc``
+(reference: src/spamtree_fit.cpp:5-429).  Iteration order matches the
+reference hot loop (.cpp:167-391): w-Gibbs -> cheap re-loglik -> RAM-adaptive
+Metropolis on theta (with logit transforms + jacobian; chol failure
+auto-rejects) -> prediction on kept iterations -> tausq-Gibbs -> beta-Gibbs ->
+sample save.  Burn and keep phases are separate ``lax.scan``s; kept samples
+stream to host in chunks so n ~ 10^6 runs never hold the full chain on device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spamtree_tpu.model.core import (
+    ModelStatic,
+    gibbs_beta,
+    gibbs_tausq,
+    gibbs_w,
+    predict,
+    quad_loglik,
+    sweep,
+)
+from spamtree_tpu.model.ram import RAMState, ram_adapt, ram_init
+from spamtree_tpu.model.transforms import calc_jacobian, clamp_bounds, transf_back, transf_fwd
+
+
+class MCMCState(NamedTuple):
+    key: jax.Array
+    w: jax.Array  # (n+1,)
+    beta: jax.Array  # (p, q)
+    tausq_inv: jax.Array  # (q,)
+    XB: jax.Array  # (n+1,)
+    theta: jax.Array
+    leveldata: tuple
+    logdetCi: jax.Array
+    ram: RAMState
+    it: jax.Array  # iteration counter for RAM warmup
+
+
+class MCMCConfig(NamedTuple):
+    keep: int = 1000
+    burn: int = 100
+    thin: int = 1
+    adapting: bool = True
+    mcmcsd: float = 0.01
+    tausq_ab: tuple = (2.01, 1.0)
+    beta_Vi_scale: float = 0.01  # prior precision scale for beta (Vi = s * I)
+    sample_beta: bool = True
+    sample_tausq: bool = True
+    sample_theta: bool = True
+    sample_w: bool = True
+    sample_predicts: bool = True
+    chunk: int = 100  # kept samples per device->host transfer chunk
+
+
+def init_state(
+    ms: ModelStatic,
+    bounds: np.ndarray,
+    start_theta: np.ndarray,
+    start_beta: np.ndarray | None = None,
+    start_tausq: float = 0.1,
+    start_w: np.ndarray | None = None,
+    cfg: MCMCConfig = MCMCConfig(),
+    seed: int = 0,
+) -> MCMCState:
+    n, p, q = ms.n, ms.p, ms.q
+    nt = len(start_theta)
+    theta = jnp.asarray(start_theta, dtype=ms.dtype)
+    beta0 = np.zeros(p) if start_beta is None else np.asarray(start_beta)
+    beta = jnp.asarray(np.repeat(beta0[:, None], q, axis=1), dtype=ms.dtype)
+    tausq_inv = jnp.full((q,), 1.0 / start_tausq, dtype=ms.dtype)
+    w0 = np.zeros(n + 1) if start_w is None else np.append(np.asarray(start_w), 0.0)
+    w = jnp.asarray(w0, dtype=ms.dtype)
+    XBq = ms.X @ beta
+    XB = jnp.append(jnp.sum(XBq * ms.mv_onehot, axis=1), jnp.zeros((1,), dtype=ms.dtype))
+    sd = np.asarray(cfg.mcmcsd)
+    if sd.ndim < 2:
+        sd = np.eye(nt) * float(sd)
+    ram = ram_init(jnp.asarray(sd, dtype=ms.dtype))
+    leveldata, logdet, ok = jax.jit(lambda th, ww: sweep(ms, th, ww))(theta, w)
+    return MCMCState(
+        key=jax.random.PRNGKey(seed),
+        w=w, beta=beta, tausq_inv=tausq_inv, XB=XB, theta=theta,
+        leveldata=leveldata, logdetCi=logdet, ram=ram,
+        it=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
+    """Build the single-iteration transition kernel (closure over statics)."""
+    bnds = jnp.asarray(bounds, dtype=ms.dtype)
+    Vi = cfg.beta_Vi_scale * jnp.eye(ms.p, dtype=ms.dtype)
+    Vim = jnp.zeros((ms.p,), dtype=ms.dtype)
+
+    def step(state: MCMCState, key, predicting: bool) -> MCMCState:
+        kw, kt, ku, kp, kq, kb = jax.random.split(key, 6)
+        w, leveldata, logdetCi, theta = state.w, state.leveldata, state.logdetCi, state.theta
+        ram = state.ram
+
+        if cfg.sample_w:
+            w = gibbs_w(ms, leveldata, w, state.tausq_inv, state.XB, kw)
+        cur_ll = logdetCi + quad_loglik(ms, leveldata, w)
+
+        if cfg.sample_theta:
+            U = jax.random.normal(kt, (theta.shape[0],), dtype=ms.dtype)
+            prop = transf_back(transf_fwd(theta, bnds) + ram.paramsd @ U, bnds)
+            prop, _ = clamp_bounds(prop, bnds)
+            new_ld, new_logdet, ok = sweep(ms, prop, w)
+            new_ll = new_logdet + quad_loglik(ms, new_ld, w)
+            jac = calc_jacobian(prop, theta, bnds)
+            logaccept = new_ll - cur_ll + jac
+            finite = jnp.isfinite(logaccept)
+            acceptp = jnp.where(finite, jnp.exp(jnp.minimum(logaccept, 0.0)), 0.0)
+            u = jax.random.uniform(ku, dtype=ms.dtype)
+            accepted = (u < acceptp) & ok
+            theta = jnp.where(accepted, prop, theta)
+            logdetCi = jnp.where(accepted, new_logdet, logdetCi)
+            leveldata = jax.tree.map(
+                lambda a, b: jnp.where(accepted, a, b), new_ld, leveldata
+            )
+            if cfg.adapting:
+                alpha = jnp.where(
+                    ok & finite, jnp.minimum(1.0, jnp.exp(logaccept)), 0.0
+                )
+                ram = ram_adapt(ram, U, alpha, state.it)
+            ram = ram._replace(
+                propos_count=ram.propos_count + 1.0,
+                accept_count=ram.accept_count + accepted.astype(ms.dtype),
+            )
+
+        if predicting and cfg.sample_predicts and cfg.sample_w:
+            w = predict(ms, theta, w, kp)
+
+        tausq_inv = state.tausq_inv
+        if cfg.sample_tausq:
+            tausq_inv = gibbs_tausq(ms, w, state.XB, kq, cfg.tausq_ab)
+
+        beta, XB = state.beta, state.XB
+        if cfg.sample_beta:
+            beta, XB = gibbs_beta(ms, w, tausq_inv, kb, Vi, Vim)
+
+        return MCMCState(
+            key=state.key, w=w, beta=beta, tausq_inv=tausq_inv, XB=XB,
+            theta=theta, leveldata=leveldata, logdetCi=logdetCi, ram=ram,
+            it=state.it + 1,
+        )
+
+    return step
+
+
+def run_mcmc(
+    ms: ModelStatic,
+    bounds: np.ndarray,
+    cfg: MCMCConfig,
+    state: MCMCState,
+    verbose: bool = False,
+):
+    """Burn + chunked keep phases; returns dict of host-side sample arrays.
+
+    Interruptible between chunks (partial results are returned), mirroring the
+    reference's checkInterrupt polling (spamtree_fit.cpp:336,355-360).
+    """
+    n = ms.n
+    step = make_step(ms, bounds, cfg)
+
+    def burn_body(s, key):
+        return step(s, key, False), None
+
+    @jax.jit
+    def burn_scan(s, keys):
+        return jax.lax.scan(burn_body, s, keys)[0]
+
+    def keep_body(s, keys):
+        for i in range(cfg.thin - 1):
+            s = step(s, keys[i], False)
+        s = step(s, keys[cfg.thin - 1], True)
+        tl = ms.tausq_long(s.tausq_inv)[:n]
+        znoise = jax.random.normal(keys[cfg.thin], (n,), dtype=ms.dtype)
+        yhat = s.XB[:n] + s.w[:n] + znoise / jnp.sqrt(jnp.maximum(tl, 1e-30))
+        out = (s.w[:n], yhat, s.beta, 1.0 / s.tausq_inv, s.theta)
+        return s, out
+
+    @jax.jit
+    def keep_scan(s, keys):
+        return jax.lax.scan(keep_body, s, keys)
+
+    t0 = time.time()
+    key = state.key
+    if cfg.burn > 0:
+        key, sub = jax.random.split(key)
+        bkeys = jax.random.split(sub, cfg.burn)
+        state = burn_scan(state, bkeys)
+        state = state._replace(key=key)
+        if verbose:
+            jax.block_until_ready(state.w)
+            ar = float(state.ram.accept_count) / max(float(state.ram.propos_count), 1)
+            print(f"[burn] {cfg.burn} iters, {time.time()-t0:.2f}s, accept {ar:.2%}")
+
+    outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
+    kept = 0
+    try:
+        while kept < cfg.keep:
+            m = min(cfg.chunk, cfg.keep - kept)
+            key, sub = jax.random.split(key)
+            ckeys = jax.random.split(sub, m * (cfg.thin + 1)).reshape(m, cfg.thin + 1, 2)
+            state, (w_s, yhat_s, beta_s, tausq_s, theta_s) = keep_scan(state, ckeys)
+            state = state._replace(key=key)
+            outs["w"].append(np.asarray(w_s))
+            outs["yhat"].append(np.asarray(yhat_s))
+            outs["beta"].append(np.asarray(beta_s))
+            outs["tausq"].append(np.asarray(tausq_s))
+            outs["theta"].append(np.asarray(theta_s))
+            kept += m
+            if verbose:
+                ar = float(state.ram.accept_count) / max(float(state.ram.propos_count), 1)
+                print(
+                    f"[keep] {kept}/{cfg.keep} samples, {time.time()-t0:.2f}s, "
+                    f"accept {ar:.2%}"
+                )
+    except KeyboardInterrupt:
+        print("MCMC interrupted; returning partial results.")
+
+    res = {k: (np.concatenate(v) if v else np.zeros((0,))) for k, v in outs.items()}
+    res["mcmc_time"] = time.time() - t0
+    res["paramsd"] = np.asarray(state.ram.paramsd)
+    res["accept_ratio"] = float(state.ram.accept_count) / max(
+        float(state.ram.propos_count), 1
+    )
+    res["state"] = state
+    return res

@@ -1,0 +1,109 @@
+"""Partitioner and schedule structural-invariant tests
+(the reference's coloring/indexing checks, spamtree_model.cpp:194-420)."""
+
+import numpy as np
+
+from spamtree_tpu.tree.partition import axis_bins, kthresholds, make_tree
+from spamtree_tpu.tree.schedule import build_schedule
+
+
+def _toy(n=400, miss=0.1, q=1, seed=0):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(size=(n, 2))
+    mv = rng.integers(0, q, n)
+    na = rng.uniform(size=n) > miss
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    return coords[order], na[order], mv[order]
+
+
+def test_kthresholds():
+    x = np.arange(100, dtype=float)
+    t = kthresholds(x, 4)
+    assert len(t) == 3
+    np.testing.assert_allclose(t, [25, 50, 75])
+
+
+def test_axis_bins():
+    c = np.array([[0.1], [0.5], [0.9]])
+    b = axis_bins(c, [np.array([0.3, 0.6])])
+    np.testing.assert_array_equal(b[:, 0], [1, 2, 3])
+
+
+def test_make_tree_invariants():
+    coords, na, mv = _toy()
+    tree = make_tree(coords, na, mv, axis_cell_size=5, K=2)
+    n = len(coords)
+    # every row assigned exactly once
+    assert np.all(tree.block_of_row >= 0)
+    assert np.all(tree.res_of_row >= 1)
+    total = sum(len(r) for r in tree.block_rows)
+    assert total == n
+    seen = np.concatenate(tree.block_rows)
+    assert len(np.unique(seen)) == n
+    # missing rows live in zero-observed blocks, observed rows in positive ones
+    for u, rows in enumerate(tree.block_rows):
+        obs_u = na[rows].sum()
+        assert obs_u == tree.block_ct_obs[u]
+        assert obs_u == 0 or obs_u == len(rows)
+    # parents strictly shallower, chains complete over ref levels
+    for u in range(tree.n_blocks):
+        lv = tree.block_level[u]
+        plv = tree.block_level[tree.parents[u]]
+        assert np.all(np.diff(plv) > 0)
+        assert np.all(plv < lv)
+    # res_is_ref: branching levels ref (except possibly last), tail levels not
+    assert tree.res_is_ref[0] == 1
+
+
+def test_make_tree_no_missing():
+    coords, na, mv = _toy(miss=0.0)
+    na[:] = True
+    tree = make_tree(coords, na, mv, axis_cell_size=5, K=2)
+    assert np.all(tree.block_ct_obs > 0)
+    sched = build_schedule(tree)
+    assert sched.pred is None
+
+
+def test_schedule_layout():
+    coords, na, mv = _toy()
+    tree = make_tree(coords, na, mv, axis_cell_size=5, K=2)
+    sched = build_schedule(tree)  # internal asserts check parent layouts
+    n = tree.n_rows
+    # sweep covers exactly the observed rows
+    rows = np.concatenate([p.rows[p.rows < n] for p in sched.levels])
+    assert len(np.unique(rows)) == len(rows) == int(na.sum())
+    # prediction level covers the missing rows
+    if sched.pred is not None:
+        prow = sched.pred.rows[sched.pred.rows < n]
+        assert len(prow) == int((~na).sum())
+    # pblock/ppos consistency: owner's padded row at ppos equals the slot row
+    for p in sched.levels + ([sched.pred] if sched.pred is not None else []):
+        for i in range(p.B):
+            for a in range(p.P):
+                if p.prows[i, a] < n:
+                    owner = p.pblock[i, a]
+                    pos = p.ppos[i, a]
+                    assert owner < tree.n_blocks
+                    assert tree.block_rows[owner][pos] == p.prows[i, a]
+
+
+def test_multivariate_tree():
+    rng = np.random.default_rng(5)
+    n = 600
+    coords = np.repeat(rng.uniform(size=(n // 2, 2)), 2, axis=0)
+    mv = np.tile([0, 1], n // 2)
+    na = rng.uniform(size=n) > 0.1
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    tree = make_tree(coords[order], na[order], mv[order], axis_cell_size=5, K=2)
+    sched = build_schedule(tree)
+    assert tree.n_blocks == len(tree.block_rows)
+    assert len(sched.levels) >= 2
+
+
+def test_limited_tree():
+    coords, na, mv = _toy()
+    tree = make_tree(coords, na, mv, axis_cell_size=5, K=2, limited_tree=True)
+    for u in range(tree.n_blocks):
+        assert len(tree.parents[u]) <= 1
+    sched = build_schedule(tree, limited_tree=True)
+    assert sched.levels
