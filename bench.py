@@ -59,6 +59,7 @@ def main():
         cell_size=args.cell_size,
         mcmc=dict(keep=args.keep, burn=args.burn, thin=args.thin),
         verbose=False,
+        precompile=True,
     )
     iters = args.burn + args.keep * args.thin
     ips = iters / out["mcmc_time"]

@@ -46,6 +46,7 @@ def spamtree(
     debug=None,
     dtype=jnp.float32,
     seed=1,
+    precompile=False,
 ):
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     x = np.asarray(x, dtype=np.float64)
@@ -106,12 +107,12 @@ def spamtree(
     )
 
     ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=dtype)
-    beta_Vi_scale = 0.01 if prior["beta"] is None else float(prior["beta"])
+    beta_Vi = 0.01 if prior["beta"] is None else prior["beta"]
     tausq_ab = (2.01, 1.0) if prior["tausq"] is None else tuple(prior["tausq"])
     cfg = MCMCConfig(
         keep=mcmc["keep"], burn=mcmc["burn"], thin=mcmc["thin"],
         adapting=settings["adapting"], mcmcsd=settings["mcmcsd"],
-        tausq_ab=tausq_ab, beta_Vi_scale=beta_Vi_scale,
+        tausq_ab=tausq_ab, beta_Vi=beta_Vi,
         sample_beta=debug["sample_beta"], sample_tausq=debug["sample_tausq"],
         sample_theta=debug["sample_theta"], sample_w=debug["sample_w"],
         sample_predicts=debug["sample_predicts"],
@@ -126,7 +127,8 @@ def spamtree(
         start_w=start_w,
         cfg=cfg, seed=seed,
     )
-    res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose)
+    res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
+                   precompile=precompile)
 
     out = {
         "coords": cs,

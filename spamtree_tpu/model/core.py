@@ -45,8 +45,7 @@ class LevelArrays(NamedTuple):
     rmask: jax.Array  # (B, S)
     pmask: jax.Array  # (B, P)
     lp_pos: jax.Array  # (B,)
-    pblock: jax.Array  # (B, P) sentinel n_blocks
-    ppos: jax.Array  # (B, P)
+    anc_blocks: jax.Array  # (B, n_anc) ancestor block ids, sentinel n_blocks
     block_ids: jax.Array  # (B,)
 
 
@@ -126,14 +125,14 @@ class ModelStatic:
                 rmask=jnp.asarray(rows < n),
                 pmask=jnp.asarray(prows < n),
                 lp_pos=jnp.asarray(_padB(plan.lp_pos, 0), dtype=jnp.int32),
-                pblock=jnp.asarray(_padB(plan.pblock, nb), dtype=jnp.int32),
-                ppos=jnp.asarray(_padB(plan.ppos, 0), dtype=jnp.int32),
+                anc_blocks=jnp.asarray(_padB(plan.anc_blocks, nb), dtype=jnp.int32),
                 block_ids=jnp.asarray(_padB(plan.block_ids, nb), dtype=jnp.int32),
             )
 
         self.levels = [_conv(p) for p in sched.levels]
         self.level_is_ref = [p.is_ref for p in sched.levels]
         self.level_lp = [p.lp_level for p in sched.levels]
+        self.level_segs = [(p.seg_off, p.seg_size) for p in sched.levels]
         self.pred_arrays = _conv(sched.pred) if sched.pred is not None else None
         # which sweep levels must emit a joint factor (used by a later level)
         used = {p.lp_level for p in sched.levels if p.lp_level >= 0}
@@ -198,13 +197,23 @@ def sweep(ms: ModelStatic, theta, w):
             )
             ok = ok & jnp.all(okl)
             if ms.serves_as_parent[t]:
-                Q = P + S
-                J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
-                if P > 0:
-                    J = J.at[:, :P, :P].set(LAi)
-                    J = J.at[:, P:, :P].set(-jnp.einsum("bst,btp->bsp", Rinv, H))
-                J = J.at[:, P:, P:].set(Rinv)
-                joints[t] = J
+                if ms.sched.limited_tree:
+                    # limited tree: children condition on this block's rows
+                    # alone, so the factor is inv-chol of the raw Kcc
+                    # (reference: spamtree_model.cpp:901-903 inv_sympd(Kcc))
+                    Lp, okp = chol_masked(Kcc, lvl.rmask)
+                    ok = ok & jnp.all(okp)
+                    joints[t] = tri_inv(Lp)
+                else:
+                    Q = P + S
+                    J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
+                    if P > 0:
+                        J = J.at[:, :P, :P].set(LAi)
+                        J = J.at[:, P:, :P].set(
+                            -jnp.einsum("bst,btp->bsp", Rinv, H)
+                        )
+                    J = J.at[:, P:, P:].set(Rinv)
+                    joints[t] = J
             leveldata.append(LevelData(H=H, prec=prec))
         else:
             kdiag = jax.vmap(lambda a, b: pairwise_cov_diag(a, b, params, ms.spec))(
@@ -263,52 +272,52 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key):
         z = bigz[lvl.rows]
         ti = tl[lvl.rows]
         resid = ti * (ms.y[lvl.rows] - XB[lvl.rows])
+        hw_prior = (
+            jnp.einsum("bsp,bp->bs", data.H, wpar)
+            if P > 0
+            else jnp.zeros((B, S), dtype=ms.dtype)
+        )
 
         if ms.level_is_ref[t]:
             Sigi = data.prec + acc_Sigi[lvl.block_ids][:, :S, :S]
             Sigi = Sigi + ti[:, :, None] * jnp.eye(S, dtype=ms.dtype)
             Lg, _ = chol_masked(Sigi, lvl.rmask)
-            prior_mean = jnp.einsum("bsp,bp->bs", data.H, wpar) if P > 0 else 0.0
-            Smu = (
-                jnp.einsum("bst,bt->bs", data.prec, prior_mean)
-                if P > 0
-                else jnp.zeros((B, S), dtype=ms.dtype)
-            )
+            Smu = jnp.einsum("bst,bt->bs", data.prec, hw_prior)
             Smu = Smu + acc_Smu[lvl.block_ids][:, :S] + resid
             tmp = tri_solve(Lg, Smu[..., None])
             wu = tri_solve(Lg, tmp + z[..., None], trans=True)[..., 0]
         else:
             sig = data.prec + ti
-            hw = jnp.einsum("bsp,bp->bs", data.H, wpar) if P > 0 else 0.0
-            smu = data.prec * hw + resid
+            smu = data.prec * hw_prior + resid
             wu = smu / sig + z / jnp.sqrt(sig)
         wu = jnp.where(lvl.rmask, wu, 0.0)
         w = w.at[lvl.rows].set(wu)
 
         if P > 0:
-            # push Gibbs messages to every parent (reference: .cpp:1158-1210)
+            # push Gibbs messages to every parent (reference: .cpp:1158-1210).
+            # Ancestor a's padded rows occupy the static contiguous slice
+            # [off_a, off_a + s_a) of the parent layout, so only the
+            # per-ancestor diagonal blocks of the child Gram matrix
+            # H' prec H are ever formed; the full (P, P) product is not.
             if ms.level_is_ref[t]:
                 AK = jnp.einsum("bsp,bst->bpt", data.H, data.prec)  # (B, P, S)
             else:
                 AK = jnp.einsum("bsp,bs->bps", data.H, data.prec)
-            G = jnp.einsum("bps,bsq->bpq", AK, data.H)
-            valid = lvl.pmask
-            same = (
-                (lvl.pblock[:, :, None] == lvl.pblock[:, None, :])
-                & valid[:, :, None]
-                & valid[:, None, :]
+            # msg_full = AK (w_u - H w_par); per segment add back the own-
+            # segment coupling G_aa w_par[seg] (the variable being sampled)
+            msg_full = jnp.einsum("bps,bs->bp", AK, wu) - jnp.einsum(
+                "bps,bs->bp", AK, hw_prior
             )
-            G_same = jnp.where(same, G, 0.0)
-            msg = (
-                jnp.einsum("bps,bs->bp", AK, wu)
-                - jnp.einsum("bpq,bq->bp", G, wpar)
-                + jnp.einsum("bpq,bq->bp", G_same, wpar)
-            )
-            msg = jnp.where(valid, msg, 0.0)
-            acc_Sigi = acc_Sigi.at[
-                lvl.pblock[:, :, None], lvl.ppos[:, :, None], lvl.ppos[:, None, :]
-            ].add(G_same)
-            acc_Smu = acc_Smu.at[lvl.pblock, lvl.ppos].add(msg)
+            seg_off, seg_size = ms.level_segs[t]
+            for a, (o, sa) in enumerate(zip(seg_off, seg_size)):
+                AK_a = AK[:, o : o + sa, :]  # (B, sa, S)
+                G_aa = jnp.einsum("bps,bsq->bpq", AK_a, data.H[:, :, o : o + sa])
+                msg_a = msg_full[:, o : o + sa] + jnp.einsum(
+                    "bpq,bq->bp", G_aa, wpar[:, o : o + sa]
+                )
+                blk = lvl.anc_blocks[:, a]
+                acc_Sigi = acc_Sigi.at[blk, :sa, :sa].add(G_aa)
+                acc_Smu = acc_Smu.at[blk, :sa].add(msg_a)
 
     return w
 

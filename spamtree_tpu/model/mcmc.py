@@ -51,7 +51,7 @@ class MCMCConfig(NamedTuple):
     adapting: bool = True
     mcmcsd: float = 0.01
     tausq_ab: tuple = (2.01, 1.0)
-    beta_Vi_scale: float = 0.01  # prior precision scale for beta (Vi = s * I)
+    beta_Vi: object = 0.01  # prior precision for beta: scalar s (Vi = s*I) or (p,p)
     sample_beta: bool = True
     sample_tausq: bool = True
     sample_theta: bool = True
@@ -96,7 +96,10 @@ def init_state(
 def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
     """Build the single-iteration transition kernel (closure over statics)."""
     bnds = jnp.asarray(bounds, dtype=ms.dtype)
-    Vi = cfg.beta_Vi_scale * jnp.eye(ms.p, dtype=ms.dtype)
+    bvi = np.asarray(cfg.beta_Vi, dtype=np.float64)
+    if bvi.ndim < 2:
+        bvi = float(bvi) * np.eye(ms.p)
+    Vi = jnp.asarray(bvi, dtype=ms.dtype)
     Vim = jnp.zeros((ms.p,), dtype=ms.dtype)
 
     def step(state: MCMCState, key, predicting: bool) -> MCMCState:
@@ -161,6 +164,7 @@ def run_mcmc(
     cfg: MCMCConfig,
     state: MCMCState,
     verbose: bool = False,
+    precompile: bool = False,
 ):
     """Burn + chunked keep phases; returns dict of host-side sample arrays.
 
@@ -191,12 +195,29 @@ def run_mcmc(
     def keep_scan(s, keys):
         return jax.lax.scan(keep_body, s, keys)
 
+    burn_fn, keep_fn = burn_scan, keep_scan
+    if precompile:
+        # AOT-compile both scans so mcmc_time measures sampling, not XLA
+        t_c = time.time()
+        if cfg.burn > 0:
+            dk = jax.random.split(jax.random.PRNGKey(0), cfg.burn)
+            burn_fn = burn_scan.lower(state, dk).compile()
+        m0 = min(cfg.chunk, cfg.keep)
+        dk2 = jax.random.split(jax.random.PRNGKey(0), m0 * (cfg.thin + 1)).reshape(
+            m0, cfg.thin + 1, 2
+        )
+        keep_compiled = keep_scan.lower(state, dk2).compile()
+        if verbose:
+            print(f"[compile] {time.time()-t_c:.1f}s")
+    else:
+        keep_compiled = None
+
     t0 = time.time()
     key = state.key
     if cfg.burn > 0:
         key, sub = jax.random.split(key)
         bkeys = jax.random.split(sub, cfg.burn)
-        state = burn_scan(state, bkeys)
+        state = burn_fn(state, bkeys)
         state = state._replace(key=key)
         if verbose:
             jax.block_until_ready(state.w)
@@ -210,7 +231,8 @@ def run_mcmc(
             m = min(cfg.chunk, cfg.keep - kept)
             key, sub = jax.random.split(key)
             ckeys = jax.random.split(sub, m * (cfg.thin + 1)).reshape(m, cfg.thin + 1, 2)
-            state, (w_s, yhat_s, beta_s, tausq_s, theta_s) = keep_scan(state, ckeys)
+            fn = keep_compiled if (keep_compiled is not None and m == min(cfg.chunk, cfg.keep)) else keep_scan
+            state, (w_s, yhat_s, beta_s, tausq_s, theta_s) = fn(state, ckeys)
             state = state._replace(key=key)
             outs["w"].append(np.asarray(w_s))
             outs["yhat"].append(np.asarray(yhat_s))

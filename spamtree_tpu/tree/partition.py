@@ -25,17 +25,22 @@ from scipy.spatial import cKDTree
 
 
 def kthresholds(x: np.ndarray, k: int) -> np.ndarray:
-    """k-quantile cut points: sorted(x)[i*n//k], i=1..k-1 (tree_dep.cpp:16-27)."""
-    if k <= 1:
-        return np.zeros(0, dtype=x.dtype)
-    xs = np.sort(x)
-    idx = (np.arange(1, k) * len(x)) // k
-    return xs[idx]
+    """k-quantile cut points: sorted(x)[i*n//k], i=1..k-1 (tree_dep.cpp:16-27).
+
+    Dispatches to the native C++ kernel (nth_element-based, like the
+    reference) when native/libspamtree_host.so is available."""
+    from spamtree_tpu.utils import native
+
+    return native.kthresholds(np.asarray(x, dtype=np.float64), k)
 
 
 def column_threshold(col: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
     """1 + #{t : col >= t} per entry (tree_dep.cpp:42-55)."""
-    return np.searchsorted(thresholds, col, side="right") + 1
+    from spamtree_tpu.utils import native
+
+    return native.column_threshold(
+        np.asarray(col, dtype=np.float64), np.asarray(thresholds, dtype=np.float64)
+    )
 
 
 def axis_bins(coords: np.ndarray, thresholds: list[np.ndarray]) -> np.ndarray:

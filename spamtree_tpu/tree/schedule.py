@@ -16,9 +16,13 @@ reference: src/spamtree_model.cpp:194-420):
   (``invchol_block_inplace_direct``, src/tree_utils.cpp:194-208) a single
   batched gather per level here;
 * the child->parent Gibbs messages (``u_is_which_col_f``/``this_is_jth_child``
-  machinery, src/spamtree_model.cpp:355-420 and 1158-1210) become two static
-  index arrays ``pblock``/``ppos`` mapping every parent slot to
-  (owning block, position inside that block) for scatter-add accumulation.
+  machinery, src/spamtree_model.cpp:355-420 and 1158-1210) become static
+  *contiguous segments*: because the layout is built recursively with
+  level-wide fixed padding, ancestor ``a``'s padded rows always occupy the
+  same slice ``[seg_off[a], seg_off[a]+seg_size[a])`` of the parent layout
+  for every block of a level.  Messages are then per-segment slices
+  scatter-added by ancestor block id -- no per-slot owner masks, and the
+  dense (P, P) child Gram matrix never needs materializing.
 """
 
 from __future__ import annotations
@@ -39,8 +43,9 @@ class LevelPlan:
     prows: np.ndarray  # (B, P) int32, sentinel = n (P may be 0)
     lp_pos: np.ndarray  # (B,) position of deepest ref ancestor in its level batch
     lp_level: int  # sweep index of the level providing propagated factors (-1 = root)
-    pblock: np.ndarray  # (B, P) int32 owner block of each parent slot, sentinel n_blocks
-    ppos: np.ndarray  # (B, P) int32 position within the owner's padded rows
+    anc_blocks: np.ndarray  # (B, n_anc) ancestor block id per layout segment
+    seg_off: list  # [n_anc] static start offset of each ancestor segment
+    seg_size: list  # [n_anc] static padded size of each ancestor segment
 
     @property
     def B(self) -> int:
@@ -81,10 +86,9 @@ def build_schedule(tree: TreeLevels, limited_tree: bool = False) -> Schedule:
     sweep_levels: list[LevelPlan] = []
     pred_plan: LevelPlan | None = None
 
-    # per REF sweep level: padded joint layout and its owners
+    # per REF sweep level: padded joint layout rows + static segment structure
     joint_rows: dict[int, np.ndarray] = {}
-    joint_oblk: dict[int, np.ndarray] = {}
-    joint_opos: dict[int, np.ndarray] = {}
+    joint_segs: dict[int, tuple] = {}  # t -> (seg_off list, seg_size list)
     block_pos: dict[int, int] = {}  # block id -> position in its level batch
     block_sweep_level: dict[int, int] = {}
     t_sweep = 0
@@ -106,44 +110,49 @@ def build_schedule(tree: TreeLevels, limited_tree: bool = False) -> Schedule:
         has_par = [len(p) > 0 for p in par_lists]
         if not any(has_par):
             prows = np.zeros((len(ids), 0), dtype=np.int64)
-            pblock = np.zeros((len(ids), 0), dtype=np.int64)
-            ppos = np.zeros((len(ids), 0), dtype=np.int64)
             lp_pos = np.full(len(ids), -1, dtype=np.int64)
             lp_level = -1
+            anc_blocks = np.zeros((len(ids), 0), dtype=np.int64)
+            seg_off, seg_size = [], []
         else:
             assert all(has_par), f"level {res} mixes root and non-root blocks"
+            n_anc_set = {len(p) for p in par_lists}
+            assert len(n_anc_set) == 1, (
+                f"level {res}: blocks have ragged ancestor counts {n_anc_set}"
+            )
             lps = np.array([p[-1] for p in par_lists])
             lp_levels = {block_sweep_level[int(b)] for b in lps}
             assert len(lp_levels) == 1, (
                 f"level {res}: deepest ancestors at multiple levels {lp_levels}"
             )
             lp_level = lp_levels.pop()
+            lp_pos = np.array([block_pos[int(b)] for b in lps])
             if limited_tree:
                 src_rows = sweep_levels[lp_level].rows
-                src_oblk = np.repeat(
-                    sweep_levels[lp_level].block_ids[:, None], src_rows.shape[1], 1
-                )
-                src_oblk = np.where(src_rows < n, src_oblk, nb)
-                src_opos = np.repeat(
-                    np.arange(src_rows.shape[1])[None, :], src_rows.shape[0], 0
-                )
+                seg_off = [0]
+                seg_size = [src_rows.shape[1]]
             else:
                 src_rows = joint_rows[lp_level]
-                src_oblk = joint_oblk[lp_level]
-                src_opos = joint_opos[lp_level]
-            lp_pos = np.array([block_pos[int(b)] for b in lps])
+                seg_off, seg_size = joint_segs[lp_level]
             prows = src_rows[lp_pos]
-            pblock = src_oblk[lp_pos]
-            ppos = src_opos[lp_pos]
-            # invariant: real parent slots == union of parent block rows
+            anc_blocks = np.stack(par_lists, axis=0)
+            assert anc_blocks.shape[1] == len(seg_off), (
+                f"level {res}: {anc_blocks.shape[1]} ancestors vs "
+                f"{len(seg_off)} layout segments"
+            )
+            # invariant: segment a of the layout == padded rows of ancestor a
             for i, u in enumerate(ids):
-                want = np.sort(np.concatenate([tree.block_rows[p] for p in par_lists[i]]))
-                got = np.sort(prows[i][prows[i] < n])
-                assert np.array_equal(want, got), f"block {u}: parent layout mismatch"
+                for a, (o, s) in enumerate(zip(seg_off, seg_size)):
+                    seg = prows[i, o : o + s]
+                    rows_a = tree.block_rows[par_lists[i][a]]
+                    assert np.array_equal(seg[: len(rows_a)], rows_a) and np.all(
+                        seg[len(rows_a) :] == n
+                    ), f"block {u}: segment {a} layout mismatch"
 
         plan = LevelPlan(
             res=res, is_ref=is_ref, block_ids=ids, rows=rows, prows=prows,
-            lp_pos=lp_pos, lp_level=lp_level, pblock=pblock, ppos=ppos,
+            lp_pos=lp_pos, lp_level=lp_level, anc_blocks=anc_blocks,
+            seg_off=list(seg_off), seg_size=list(seg_size),
         )
 
         if is_pred_level:
@@ -155,16 +164,11 @@ def build_schedule(tree: TreeLevels, limited_tree: bool = False) -> Schedule:
             block_pos[int(u)] = i
             block_sweep_level[int(u)] = t_sweep
         if is_ref:
-            jr = np.concatenate([prows, rows], axis=1)
-            jo = np.concatenate(
-                [pblock, np.where(rows < n, ids[:, None], nb)], axis=1
+            joint_rows[t_sweep] = np.concatenate([prows, rows], axis=1)
+            joint_segs[t_sweep] = (
+                list(seg_off) + [prows.shape[1]],
+                list(seg_size) + [S],
             )
-            jp = np.concatenate(
-                [ppos, np.repeat(np.arange(S)[None, :], len(ids), 0)], axis=1
-            )
-            joint_rows[t_sweep] = jr
-            joint_oblk[t_sweep] = jo
-            joint_opos[t_sweep] = jp
         sweep_levels.append(plan)
         t_sweep += 1
 

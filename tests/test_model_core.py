@@ -21,7 +21,8 @@ from spamtree_tpu.tree.partition import make_tree
 from spamtree_tpu.tree.schedule import build_schedule
 
 
-def _setup(n=300, seed=0, q=1, miss=0.0, tree_depth=np.inf, cell=9):
+def _setup(n=300, seed=0, q=1, miss=0.0, tree_depth=np.inf, cell=9,
+           limited_tree=False):
     rng = np.random.default_rng(seed)
     if q == 1:
         coords = rng.uniform(size=(n, 2))
@@ -38,8 +39,8 @@ def _setup(n=300, seed=0, q=1, miss=0.0, tree_depth=np.inf, cell=9):
     y[~na] = np.nan
     X = np.ones((n, 1))
     tree = make_tree(coords, na, mv, axis_cell_size=int(np.sqrt(cell)), K=2,
-                     tree_depth=tree_depth, rng=rng)
-    sched = build_schedule(tree)
+                     tree_depth=tree_depth, rng=rng, limited_tree=limited_tree)
+    sched = build_schedule(tree, limited_tree=limited_tree)
     tspec = make_theta_spec(2, q)
     ms = ModelStatic(sched, coords, mv, y, X, tspec.spec, dtype=jnp.float64)
     return ms, tree, sched, tspec, coords, mv, y, na
@@ -109,6 +110,28 @@ def test_sweep_matches_bruteforce_bivariate():
     rng = np.random.default_rng(2)
     theta = tspec.start.copy()
     theta[-1] = 0.8  # latent cross-distance
+    w = rng.normal(size=ms.n)
+    wj = jnp.asarray(np.append(w, 0.0))
+    leveldata, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
+    assert bool(ok)
+    got = float(logdet + quad_loglik(ms, leveldata, wj))
+    C = _dense_cov(ms, theta, coords, mv)
+    want = 0.0
+    for rows, par, H, R, is_ref in _brute_blocks(ms, tree, sched, C):
+        wx = w[rows] - H @ w[par]
+        if is_ref:
+            sign, ld = np.linalg.slogdet(R)
+            want += -0.5 * ld - 0.5 * wx @ np.linalg.solve(R, wx)
+        else:
+            r = np.diag(R)
+            want += -0.5 * np.sum(np.log(r)) - 0.5 * np.sum(wx * wx / r)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_sweep_matches_bruteforce_limited_tree():
+    ms, tree, sched, tspec, coords, mv, y, na = _setup(limited_tree=True)
+    rng = np.random.default_rng(4)
+    theta = tspec.start.copy()
     w = rng.normal(size=ms.n)
     wj = jnp.asarray(np.append(w, 0.0))
     leveldata, logdet, ok = sweep(ms, jnp.asarray(theta), wj)

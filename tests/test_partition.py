@@ -76,15 +76,15 @@ def test_schedule_layout():
     if sched.pred is not None:
         prow = sched.pred.rows[sched.pred.rows < n]
         assert len(prow) == int((~na).sum())
-    # pblock/ppos consistency: owner's padded row at ppos equals the slot row
+    # segment consistency: ancestor a's rows fill layout slice [off, off+size)
     for p in sched.levels + ([sched.pred] if sched.pred is not None else []):
+        assert p.anc_blocks.shape[1] == len(p.seg_off) == len(p.seg_size)
         for i in range(p.B):
-            for a in range(p.P):
-                if p.prows[i, a] < n:
-                    owner = p.pblock[i, a]
-                    pos = p.ppos[i, a]
-                    assert owner < tree.n_blocks
-                    assert tree.block_rows[owner][pos] == p.prows[i, a]
+            for a, (o, s) in enumerate(zip(p.seg_off, p.seg_size)):
+                rows_a = tree.block_rows[p.anc_blocks[i, a]]
+                seg = p.prows[i, o : o + s]
+                assert np.array_equal(seg[: len(rows_a)], rows_a)
+                assert np.all(seg[len(rows_a):] == n)
 
 
 def test_multivariate_tree():
