@@ -47,6 +47,7 @@ def spamtree(
     dtype=jnp.float32,
     seed=1,
     precompile=False,
+    n_chains=1,
 ):
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     x = np.asarray(x, dtype=np.float64)
@@ -120,15 +121,27 @@ def spamtree(
     start_w = starting["w"]
     if start_w is not None:
         start_w = np.asarray(start_w).reshape(-1)[order]
-    state = init_state(
-        ms, tspec.bounds, tspec.start,
-        start_beta=starting["beta"],
-        start_tausq=(0.1 if starting["tausq"] is None else float(starting["tausq"])),
-        start_w=start_w,
-        cfg=cfg, seed=seed,
-    )
-    res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
-                   precompile=precompile)
+    def _mk_state(sd):
+        return init_state(
+            ms, tspec.bounds, tspec.start,
+            start_beta=starting["beta"],
+            start_tausq=(0.1 if starting["tausq"] is None else float(starting["tausq"])),
+            start_w=start_w,
+            cfg=cfg, seed=sd,
+        )
+
+    if n_chains > 1:
+        import jax
+
+        from spamtree_tpu.model.mcmc import run_mcmc_chains
+
+        sts = [_mk_state(seed + c) for c in range(n_chains)]
+        states = jax.tree.map(lambda *a: jnp.stack(a), *sts)
+        res = run_mcmc_chains(ms, tspec.bounds, cfg, states, verbose=verbose)
+    else:
+        state = _mk_state(seed)
+        res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
+                       precompile=precompile)
 
     out = {
         "coords": cs,
@@ -139,11 +152,16 @@ def spamtree(
             "block": tree.block_of_row,
             "res": tree.res_of_row,
         },
-        "w_mcmc": res["w"],  # (keep, n) sorted-row order
+        # single chain: w/yhat (keep, n); beta (p, keep, q); tausq (q, keep);
+        # theta (n_theta, keep) -- matching the reference's return shapes.
+        # n_chains > 1: a chain axis follows the sample axis (keep, C, ...).
+        "w_mcmc": res["w"],
         "yhat_mcmc": res["yhat"],
-        "beta_mcmc": np.moveaxis(res["beta"], 0, 1),  # (p, keep, q)
-        "tausq_mcmc": res["tausq"].T,  # (q, keep)
-        "theta_mcmc": res["theta"].T,  # (n_theta, keep)
+        "beta_mcmc": (np.moveaxis(res["beta"], 0, 1) if n_chains == 1
+                      else res["beta"]),
+        "tausq_mcmc": res["tausq"].T if n_chains == 1 else res["tausq"],
+        "theta_mcmc": res["theta"].T if n_chains == 1 else res["theta"],
+        "n_chains": n_chains,
         "paramsd": res["paramsd"],
         "mcmc_time": res["mcmc_time"],
         "accept_ratio": res["accept_ratio"],

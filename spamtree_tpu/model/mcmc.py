@@ -165,11 +165,15 @@ def run_mcmc(
     state: MCMCState,
     verbose: bool = False,
     precompile: bool = False,
+    checkpoint_path: str | None = None,
 ):
     """Burn + chunked keep phases; returns dict of host-side sample arrays.
 
     Interruptible between chunks (partial results are returned), mirroring the
     reference's checkInterrupt polling (spamtree_fit.cpp:336,355-360).
+    If ``checkpoint_path`` is set, the full sampler state is written there
+    after the burn phase and after every kept chunk (resume via
+    utils.checkpoint.load_state).
     """
     n = ms.n
     step = make_step(ms, bounds, cfg)
@@ -219,6 +223,10 @@ def run_mcmc(
         bkeys = jax.random.split(sub, cfg.burn)
         state = burn_fn(state, bkeys)
         state = state._replace(key=key)
+        if checkpoint_path:
+            from spamtree_tpu.utils.checkpoint import save_state
+
+            save_state(checkpoint_path, state)
         if verbose:
             jax.block_until_ready(state.w)
             ar = float(state.ram.accept_count) / max(float(state.ram.propos_count), 1)
@@ -240,6 +248,10 @@ def run_mcmc(
             outs["tausq"].append(np.asarray(tausq_s))
             outs["theta"].append(np.asarray(theta_s))
             kept += m
+            if checkpoint_path:
+                from spamtree_tpu.utils.checkpoint import save_state
+
+                save_state(checkpoint_path, state)
             if verbose:
                 ar = float(state.ram.accept_count) / max(float(state.ram.propos_count), 1)
                 print(
@@ -256,4 +268,76 @@ def run_mcmc(
         float(state.ram.propos_count), 1
     )
     res["state"] = state
+    return res
+
+
+def run_mcmc_chains(
+    ms: ModelStatic,
+    bounds: np.ndarray,
+    cfg: MCMCConfig,
+    states: MCMCState,  # stacked pytree with leading chain axis C
+    verbose: bool = False,
+    mesh=None,
+):
+    """Run C independent chains in one program via vmap.
+
+    With a device mesh, chains shard over the ``chains`` axis (pure data
+    parallelism).  Outputs carry a chain axis after the sample axis:
+    w/yhat (keep, C, n), beta (keep, C, p, q), etc.
+    """
+    n = ms.n
+    step = make_step(ms, bounds, cfg)
+    vstep_b = jax.vmap(lambda s, k: step(s, k, False))
+    vstep_p = jax.vmap(lambda s, k: step(s, k, True))
+    C = int(np.asarray(states.theta).shape[0])
+
+    @jax.jit
+    def burn_scan(s, keys):  # keys (burn, C, 2)
+        return jax.lax.scan(lambda st, k: (vstep_b(st, k), None), s, keys)[0]
+
+    def keep_body(s, keys):  # keys (thin+1, C, 2)
+        for i in range(cfg.thin - 1):
+            s = vstep_b(s, keys[i])
+        s = vstep_p(s, keys[cfg.thin - 1])
+        tl = jax.vmap(ms.tausq_long)(s.tausq_inv)[:, :n]
+        zn = jax.vmap(
+            lambda k: jax.random.normal(k, (n,), dtype=ms.dtype)
+        )(keys[cfg.thin])
+        yhat = s.XB[:, :n] + s.w[:, :n] + zn / jnp.sqrt(jnp.maximum(tl, 1e-30))
+        return s, (s.w[:, :n], yhat, s.beta, 1.0 / s.tausq_inv, s.theta)
+
+    @jax.jit
+    def keep_scan(s, keys):
+        return jax.lax.scan(keep_body, s, keys)
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(1234)
+    if cfg.burn > 0:
+        key, sub = jax.random.split(key)
+        bkeys = jax.random.split(sub, cfg.burn * C).reshape(cfg.burn, C, 2)
+        states = burn_scan(states, bkeys)
+
+    outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
+    kept = 0
+    while kept < cfg.keep:
+        m = min(cfg.chunk, cfg.keep - kept)
+        key, sub = jax.random.split(key)
+        ckeys = jax.random.split(sub, m * (cfg.thin + 1) * C).reshape(
+            m, cfg.thin + 1, C, 2
+        )
+        states, (w_s, yhat_s, beta_s, tausq_s, theta_s) = keep_scan(states, ckeys)
+        for nm, v in zip(("w", "yhat", "beta", "tausq", "theta"),
+                         (w_s, yhat_s, beta_s, tausq_s, theta_s)):
+            outs[nm].append(np.asarray(v))
+        kept += m
+        if verbose:
+            print(f"[keep] {kept}/{cfg.keep} x {C} chains, {time.time()-t0:.2f}s")
+
+    res = {k: np.concatenate(v) for k, v in outs.items()}
+    res["mcmc_time"] = time.time() - t0
+    res["paramsd"] = np.asarray(states.ram.paramsd)
+    res["accept_ratio"] = float(np.sum(np.asarray(states.ram.accept_count))) / max(
+        float(np.sum(np.asarray(states.ram.propos_count))), 1
+    )
+    res["state"] = states
     return res

@@ -1,0 +1,67 @@
+"""Checkpoint / resume for SpamTree MCMC chains.
+
+The reference has no checkpointing (SURVEY.md §5: warm starts only, with the
+adapted proposal covariance returned for manual chaining).  Here the full
+sampler state -- latent w, beta, tausq, theta, RAM adapter state, RNG key and
+iteration counter -- round-trips through a single .npz file.  The per-level
+factor data (LevelData) is NOT stored: it is a pure function of theta and is
+rebuilt with one likelihood sweep on load.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spamtree_tpu.model.core import ModelStatic, sweep
+from spamtree_tpu.model.mcmc import MCMCState
+from spamtree_tpu.model.ram import RAMState
+
+
+def save_state(path: str, state: MCMCState) -> None:
+    np.savez(
+        path,
+        key=np.asarray(state.key),
+        w=np.asarray(state.w),
+        beta=np.asarray(state.beta),
+        tausq_inv=np.asarray(state.tausq_inv),
+        XB=np.asarray(state.XB),
+        theta=np.asarray(state.theta),
+        logdetCi=np.asarray(state.logdetCi),
+        it=np.asarray(state.it),
+        ram_paramsd=np.asarray(state.ram.paramsd),
+        ram_prodparam=np.asarray(state.ram.prodparam),
+        ram_started=np.asarray(state.ram.started),
+        ram_propos=np.asarray(state.ram.propos_count),
+        ram_accept=np.asarray(state.ram.accept_count),
+    )
+
+
+def load_state(path: str, ms: ModelStatic) -> MCMCState:
+    z = np.load(path)
+    dt = ms.dtype
+    theta = jnp.asarray(z["theta"], dtype=dt)
+    w = jnp.asarray(z["w"], dtype=dt)
+    leveldata, logdet, ok = jax.jit(lambda t, ww: sweep(ms, t, ww))(theta, w)
+    if not bool(ok):
+        raise RuntimeError("checkpointed theta fails Cholesky on rebuild")
+    ram = RAMState(
+        paramsd=jnp.asarray(z["ram_paramsd"], dtype=dt),
+        prodparam=jnp.asarray(z["ram_prodparam"], dtype=dt),
+        started=jnp.asarray(z["ram_started"]),
+        propos_count=jnp.asarray(z["ram_propos"], dtype=dt),
+        accept_count=jnp.asarray(z["ram_accept"], dtype=dt),
+    )
+    return MCMCState(
+        key=jnp.asarray(z["key"], dtype=jnp.uint32),
+        w=w,
+        beta=jnp.asarray(z["beta"], dtype=dt),
+        tausq_inv=jnp.asarray(z["tausq_inv"], dtype=dt),
+        XB=jnp.asarray(z["XB"], dtype=dt),
+        theta=theta,
+        leveldata=leveldata,
+        logdetCi=logdet,
+        ram=ram,
+        it=jnp.asarray(z["it"], dtype=jnp.int32),
+    )

@@ -1,0 +1,100 @@
+"""End-to-end integration tests replicating the reference's de-facto test
+suite (SURVEY.md §4): runnable-example configs with simulate-and-recover
+gates on RMSPE and parameter recovery."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pytest
+
+from spamtree_tpu import spamtree
+from spamtree_tpu.utils.checkpoint import load_state, save_state
+
+
+def _sim_univariate(SS=13, seed=2021):
+    rng = np.random.default_rng(seed)
+    n = SS * SS
+    coords = rng.uniform(size=(n, 2))
+    sigmasq, phi, tausq = 2.3, 6.0, 0.1
+    B = np.array([-1.0, 0.5, 1.0])
+    D = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+    CC = sigmasq * np.exp(-phi * D)
+    w = np.linalg.cholesky(CC + 1e-10 * np.eye(n)) @ rng.normal(size=n)
+    X = rng.normal(size=(n, 3))
+    y_full = X @ B + w + np.sqrt(tausq) * rng.normal(size=n)
+    miss = rng.binomial(1, 0.1, n).astype(bool)
+    y = np.where(miss, np.nan, y_full)
+    return coords, X, y, y_full, w, miss, B
+
+
+def test_readme_config_recovers():
+    """CRAN/README univariate config: beta recovery + RMSPE beats sd(y)."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate()
+    ybar = np.nanmean(y)
+    out = spamtree(
+        y - ybar, X, coords, cell_size=25,
+        mcmc=dict(keep=150, burn=150, thin=1),
+        dtype=jnp.float64, seed=1,
+    )
+    order = out["order"]
+    beta_hat = out["beta_mcmc"][:, :, 0].mean(axis=1)
+    assert np.abs(beta_hat - B).max() < 0.35, beta_hat
+    y_post = out["yhat_mcmc"].mean(axis=0) + ybar
+    mo = miss[order]
+    rmspe = np.sqrt(np.mean((y_post[mo] - y_full[order][mo]) ** 2))
+    assert rmspe < 0.75 * np.nanstd(y_full), rmspe
+    # latent surface correlates with truth
+    w_hat = out["w_mcmc"].mean(axis=0)
+    cc = np.corrcoef(w_hat, w[order])[0, 1]
+    assert cc > 0.85, cc
+    # tausq in a sane range
+    assert 0.01 < out["tausq_mcmc"].mean() < 1.0
+
+
+def test_debug_flags_fix_samplers():
+    """Sampler ablation flags (reference: debug list, spamtree_fit.R:18-20):
+    disabling a sampler freezes its state."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    out = spamtree(
+        y, X, coords, mcmc=dict(keep=10, burn=5),
+        starting=dict(beta=np.array([1.0, 2.0, 3.0]), tausq=0.25),
+        debug=dict(sample_beta=False, sample_tausq=False, sample_theta=True,
+                   sample_w=True, sample_predicts=True),
+        dtype=jnp.float64,
+    )
+    assert np.allclose(out["beta_mcmc"][:, :, 0], [[1.0]] * 1 + [[2.0]] + [[3.0]])
+    assert np.allclose(out["tausq_mcmc"], 0.25)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from spamtree_tpu.model.core import ModelStatic
+    from spamtree_tpu.model.mcmc import MCMCConfig, init_state
+    from spamtree_tpu.model.params import make_theta_spec
+    from spamtree_tpu.tree.partition import make_tree
+    from spamtree_tpu.tree.schedule import build_schedule
+
+    rng = np.random.default_rng(0)
+    n = 150
+    coords = rng.uniform(size=(n, 2))
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    coords = coords[order]
+    y = rng.normal(size=n)
+    X = np.ones((n, 1))
+    tree = make_tree(coords, np.ones(n, bool), np.zeros(n, np.int64),
+                     axis_cell_size=4, K=2, rng=rng)
+    sched = build_schedule(tree)
+    tspec = make_theta_spec(2, 1)
+    ms = ModelStatic(sched, coords, np.zeros(n, np.int64), y, X, tspec.spec,
+                     dtype=jnp.float64)
+    st = init_state(ms, tspec.bounds, tspec.start, cfg=MCMCConfig(), seed=4)
+    p = str(tmp_path / "ck.npz")
+    save_state(p, st)
+    st2 = load_state(p, ms)
+    assert np.allclose(np.asarray(st.w), np.asarray(st2.w))
+    assert np.allclose(np.asarray(st.theta), np.asarray(st2.theta))
+    assert np.allclose(np.asarray(st.logdetCi), np.asarray(st2.logdetCi))
+    assert np.allclose(np.asarray(st.ram.paramsd), np.asarray(st2.ram.paramsd))
+    # leveldata rebuilt from theta matches
+    for a, b in zip(st.leveldata, st2.leveldata):
+        assert np.allclose(np.asarray(a.H), np.asarray(b.H))
+        assert np.allclose(np.asarray(a.prec), np.asarray(b.prec))
