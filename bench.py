@@ -1,90 +1,169 @@
 """Benchmark entrypoint: prints ONE JSON line with the headline metric.
 
-Metric (BASELINE.md): MCMC iterations/sec on a bivariate AG10 dataset,
-with held-out RMSPE reported for accuracy parity.  Baseline reference value:
-the CPU Rcpp spamtree package publishes no numbers; BASELINE.json's
-north-star compares against 10-thread CPU at n=1e5.  ``vs_baseline`` is
-iters/sec divided by an estimated 10-thread CPU reference throughput for the
-same config (see BASELINE.md; reference CPU estimate recorded below).
+Headline metric (BASELINE.md): MCMC iterations/sec on an n=1e5 bivariate AG10
+dataset on one TPU chip, with held-out RMSPE for accuracy parity.  The full
+benchmark ladder from BASELINE.json is available via --config 1..5:
+
+  1  univariate exponential GP, n=625 grid, 10% missing (README example)
+  2  univariate n=1e4, deeper axis-parallel tree
+  3  bivariate q=2 AG10, n=1e5 (default; the north-star config)
+  4  imbalanced multivariate q=3, misaligned per-outcome locations
+  5  climate-scale n~1e6, bivariate (satellite+station style imbalance)
+
+``vs_baseline`` divides iters/sec by an estimated 10-thread CPU reference
+throughput for the same n (the reference package publishes no numbers; the
+estimate extrapolates the CRAN <5s bound -- see BASELINE.md -- until the R
+package can be timed directly on matched hardware).
 """
 
 import argparse
 import json
-import sys
 import time
 
 import numpy as np
 
 
-def make_bivariate(n_per_q, seed=7):
-    """Simulated bivariate AG10 dataset with 10% held out per margin."""
+def _latent_field(coords, rng, scales=((0.4, 1.0), (0.08, 0.5)), k=64):
+    """Cheap stand-in GP draw: random exp-kernel features (O(n*k) setup)."""
+    w = np.zeros(len(coords))
+    for scale, amp in scales:
+        centers = rng.uniform(size=(k, coords.shape[1]))
+        d = np.linalg.norm(coords[:, None, :] - centers[None], axis=-1)
+        w += amp * (np.exp(-d / scale) @ rng.normal(size=k)) / np.sqrt(k)
+    return w
+
+
+def make_univariate(n, seed=7, miss=0.1):
     rng = np.random.default_rng(seed)
-    base = rng.uniform(size=(n_per_q, 2))
-    coords = np.repeat(base, 2, axis=0)
-    mv = np.tile([1, 2], n_per_q)
+    coords = rng.uniform(size=(n, 2))
+    p = 3
+    X = rng.normal(size=(n, p))
+    B = np.array([-1.0, 0.5, 1.0])
+    w = _latent_field(coords, rng)
+    y_full = X @ B + w + np.sqrt(0.1) * rng.normal(size=n)
+    m = rng.uniform(size=n) < miss
+    return np.where(m, np.nan, y_full), y_full, m, X, coords, None
+
+
+def make_multivariate(n_per_q, q=2, seed=7, miss=0.1, imbalance=None):
+    """q margins; ``imbalance`` gives per-margin sampling weights for
+    misaligned sensor locations (reference vignette setting)."""
+    rng = np.random.default_rng(seed)
+    if imbalance is None:
+        base = rng.uniform(size=(n_per_q, 2))
+        coords = np.repeat(base, q, axis=0)
+        mv = np.tile(np.arange(1, q + 1), n_per_q)
+    else:
+        parts = []
+        mvs = []
+        for j, frac in enumerate(imbalance):
+            nj = int(n_per_q * q * frac)
+            parts.append(rng.uniform(size=(nj, 2)))
+            mvs.append(np.full(nj, j + 1))
+        coords = np.vstack(parts)
+        mv = np.concatenate(mvs)
     n = len(coords)
     p = 2
     X = rng.normal(size=(n, p))
-    B = np.array([[-0.9, 1.1], [0.6, -0.4]])  # (p, q)
-    # latent field: cheap proxy (sum of exp-cov draws) to keep setup O(n log n)
-    w = np.zeros(n)
-    for scale, amp in ((0.4, 1.0), (0.08, 0.5)):
-        centers = rng.uniform(size=(64, 2))
-        d = np.linalg.norm(coords[:, None, :] - centers[None], axis=-1)
-        w += amp * (np.exp(-d / scale) @ rng.normal(size=64)) / 8.0
-    tausq = np.array([0.1, 0.15])
+    B = rng.normal(size=(p, q))
     mv0 = mv - 1
+    w = _latent_field(coords, rng)
+    w = w * (1.0 + 0.3 * mv0)  # margin-dependent scale
+    tausq = 0.1 + 0.05 * np.arange(q)
     y_full = np.einsum("ip,ip->i", X, B[:, mv0].T) + w
     y_full += np.sqrt(tausq[mv0]) * rng.normal(size=n)
-    miss = rng.uniform(size=n) < 0.1
-    y = np.where(miss, np.nan, y_full)
-    return y, y_full, miss, X, coords, mv
+    m = rng.uniform(size=n) < miss
+    return np.where(m, np.nan, y_full), y_full, m, X, coords, mv
+
+
+CONFIGS = {
+    1: dict(name="uni_n625_readme", maker=lambda: make_univariate(625),
+            keep=1000, burn=1000, thin=2, kwargs={}),
+    2: dict(name="uni_n1e4_deep", maker=lambda: make_univariate(10000),
+            keep=500, burn=500, thin=2, kwargs={}),
+    3: dict(name="biv_n1e5_ag10", maker=lambda: make_multivariate(50000, 2),
+            keep=500, burn=1000, thin=2, kwargs={}),
+    4: dict(name="q3_misaligned", maker=lambda: make_multivariate(
+                20000, 3, imbalance=(0.55, 0.3, 0.15)),
+            keep=300, burn=500, thin=2, kwargs=dict(mvbias=1.0)),
+    5: dict(name="climate_n1e6", maker=lambda: make_multivariate(
+                500000, 2, imbalance=(0.8, 0.2)),
+            keep=200, burn=300, thin=1, kwargs={}),
+}
+
+
+def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
+               n_chains=1, verbose=False):
+    from spamtree_tpu import spamtree
+
+    c = CONFIGS[cfg_id]
+    y, y_full, miss, X, coords, mv = c["maker"]()
+    keep = keep or c["keep"]
+    burn = burn if burn is not None else c["burn"]
+    thin = thin or c["thin"]
+    ybar = np.nanmean(y)
+    t_setup = time.time()
+    out = spamtree(
+        y - ybar, X, coords, mv_id=mv,
+        cell_size=cell_size,
+        mcmc=dict(keep=keep, burn=burn, thin=thin),
+        verbose=verbose, precompile=True, n_chains=n_chains,
+        **c["kwargs"],
+    )
+    iters = burn + keep * thin
+    ips = iters / out["mcmc_time"]
+    order = out["order"]
+    if n_chains == 1:
+        y_post = out["yhat_mcmc"].mean(axis=0) + ybar
+    else:
+        y_post = out["yhat_mcmc"].mean(axis=(0, 1)) + ybar
+    mo = miss[order]
+    rmspe = float(np.sqrt(np.mean((y_post[mo] - y_full[order][mo]) ** 2)))
+    sd = float(np.nanstd(y_full))
+    return dict(
+        config=c["name"], n=int(len(y)), iters=iters,
+        ips=ips, rmspe=rmspe, sd_y=sd,
+        accept=out["accept_ratio"], mcmc_time=out["mcmc_time"],
+        setup_time=time.time() - t_setup - out["mcmc_time"],
+    )
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n_per_q", type=int, default=50000)
-    ap.add_argument("--keep", type=int, default=500)
-    ap.add_argument("--burn", type=int, default=500)
-    ap.add_argument("--thin", type=int, default=2)
+    ap.add_argument("--config", type=int, default=3, choices=list(CONFIGS))
+    ap.add_argument("--keep", type=int, default=None)
+    ap.add_argument("--burn", type=int, default=None)
+    ap.add_argument("--thin", type=int, default=None)
     ap.add_argument("--cell_size", type=int, default=25)
+    ap.add_argument("--n_chains", type=int, default=1)
+    ap.add_argument("--n_per_q", type=int, default=None,
+                    help="override config-3 size (legacy flag)")
     args = ap.parse_args()
 
-    from spamtree_tpu import spamtree
+    if args.n_per_q is not None:
+        CONFIGS[3] = dict(
+            name=f"biv_n{2*args.n_per_q}_ag10",
+            maker=lambda: make_multivariate(args.n_per_q, 2),
+            keep=500, burn=1000, thin=2, kwargs={},
+        )
 
-    y, y_full, miss, X, coords, mv = make_bivariate(args.n_per_q)
-    ybar = np.nanmean(y)
-    out = spamtree(
-        y - ybar, X, coords, mv_id=mv,
-        cell_size=args.cell_size,
-        mcmc=dict(keep=args.keep, burn=args.burn, thin=args.thin),
-        verbose=False,
-        precompile=True,
-    )
-    iters = args.burn + args.keep * args.thin
-    ips = iters / out["mcmc_time"]
+    r = run_config(args.config, keep=args.keep, burn=args.burn,
+                   thin=args.thin, cell_size=args.cell_size,
+                   n_chains=args.n_chains)
 
-    order = out["order"]
-    y_post = out["yhat_mcmc"].mean(axis=0) + ybar
-    mo = miss[order]
-    rmspe = float(np.sqrt(np.mean((y_post[mo] - y_full[order][mo]) ** 2)))
-
-    # Estimated 10-thread CPU reference throughput at n=1e5 bivariate:
-    # extrapolated from the reference's CRAN <5s bound at n=225/600 iters
-    # single-thread (>=120 it/s at n=225 => ~0.27 it/s at n=1e5 with 10 threads
-    # and near-linear block scaling). Recorded here until the R package can be
-    # run directly on matched hardware.
-    cpu_ref_ips = 0.27 * (1e5 / (2 * args.n_per_q))
+    # 10-thread CPU reference estimate (see module docstring / BASELINE.md)
+    cpu_ref_ips = 0.27 * (1e5 / r["n"])
     print(json.dumps({
-        "metric": "mcmc_iters_per_sec_n1e5_bivariate",
-        "value": round(ips, 3),
+        "metric": f"mcmc_iters_per_sec_{r['config']}",
+        "value": round(r["ips"], 3),
         "unit": "iters/sec",
-        "vs_baseline": round(ips / cpu_ref_ips, 3),
-        "rmspe": round(rmspe, 4),
-        "n": int(len(y)),
-        "iters": iters,
-        "accept": round(out["accept_ratio"], 3),
-        "mcmc_time_s": round(out["mcmc_time"], 2),
+        "vs_baseline": round(r["ips"] / cpu_ref_ips, 3),
+        "rmspe": round(r["rmspe"], 4),
+        "sd_y": round(r["sd_y"], 3),
+        "n": r["n"],
+        "iters": r["iters"],
+        "accept": round(r["accept"], 3),
+        "mcmc_time_s": round(r["mcmc_time"], 2),
     }))
 
 

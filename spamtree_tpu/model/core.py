@@ -70,6 +70,7 @@ class ModelStatic:
         spec: CovModel,
         dtype=jnp.float32,
         block_multiple: int = 1,
+        chunk_bytes: float = 512e6,
     ):
         n = sched.n
         self.sched = sched
@@ -106,9 +107,26 @@ class ModelStatic:
         )
         self.XtX = jnp.asarray(XtX, dtype=dtype)
 
-        def _conv(plan) -> LevelArrays:
+        # B-axis chunking: bound peak HBM of the per-level transients (the
+        # (B, P, P) propagated-factor gather dominates at deep levels).  A
+        # level whose big transient would exceed chunk_bytes is processed in
+        # n_chunks sequential slabs; B is padded to a multiple of n_chunks.
+        itemsize = jnp.zeros((), dtype=dtype).dtype.itemsize
+
+        def _n_chunks(plan, factor=1) -> int:
+            B, P = plan.rows.shape[0], plan.prows.shape[1]
+            big = factor * B * max(P * P, 1) * itemsize
+            if not chunk_bytes or big <= chunk_bytes:
+                return 1
+            return int(np.ceil(big / chunk_bytes))
+
+        self.level_chunks = [_n_chunks(p) for p in sched.levels]
+        self.pred_chunks = _n_chunks(sched.pred, 2) if sched.pred is not None else 1
+
+        def _conv(plan, n_chunks=1) -> LevelArrays:
             B = plan.rows.shape[0]
-            pad = (-B) % block_multiple  # whole dummy blocks for even sharding
+            mult = block_multiple * n_chunks
+            pad = (-B) % mult  # whole dummy blocks for even sharding/chunking
             nb = sched.n_blocks
 
             def _padB(a, fill):
@@ -129,14 +147,26 @@ class ModelStatic:
                 block_ids=jnp.asarray(_padB(plan.block_ids, nb), dtype=jnp.int32),
             )
 
-        self.levels = [_conv(p) for p in sched.levels]
+        self.levels = [
+            _conv(p, nc) for p, nc in zip(sched.levels, self.level_chunks)
+        ]
         self.level_is_ref = [p.is_ref for p in sched.levels]
         self.level_lp = [p.lp_level for p in sched.levels]
         self.level_segs = [(p.seg_off, p.seg_size) for p in sched.levels]
-        self.pred_arrays = _conv(sched.pred) if sched.pred is not None else None
-        # which sweep levels must emit a joint factor (used by a later level)
+        self.pred_arrays = (
+            _conv(sched.pred, self.pred_chunks) if sched.pred is not None else None
+        )
+        # which sweep levels must emit a joint factor (used by a later level),
+        # and the last level that consumes each factor (for HBM liveness:
+        # joint factors at deep levels are the largest transients in the
+        # sweep, so they are dropped as soon as their last consumer ran)
         used = {p.lp_level for p in sched.levels if p.lp_level >= 0}
         self.serves_as_parent = [t in used for t in range(len(sched.levels))]
+        self.last_consumer = {}
+        for t2, p in enumerate(sched.levels):
+            if p.lp_level >= 0:
+                self.last_consumer[p.lp_level] = t2
+
 
     # mv id per padded row index, sentinel -> margin 0 (always masked out)
     def tausq_long(self, tausq_inv):
@@ -150,6 +180,29 @@ def _bcov(ms: ModelStatic, params, cx1, mv1, cx2, mv2):
     return jax.vmap(lambda a, b, c, d: pairwise_cov(a, b, c, d, params, ms.spec))(
         cx1, mv1, cx2, mv2
     )
+
+
+def _chunked(lvl: LevelArrays, nc: int) -> LevelArrays:
+    """Reshape every per-level array to (nc, B/nc, ...) for sequential slabs."""
+    return LevelArrays(
+        *[a.reshape(nc, a.shape[0] // nc, *a.shape[1:]) for a in lvl]
+    )
+
+
+def _run_level(lvl: LevelArrays, nc: int, carry, body):
+    """Run a per-level body either whole (nc=1) or as nc sequential slabs.
+
+    ``body(carry, lvl_slice) -> (carry, outs)``; chunked outputs are
+    re-flattened along the block axis.  Sequential slabs bound peak HBM: the
+    dominant (B, P, P) gathers/products exist for one slab at a time.
+    """
+    if nc == 1:
+        return body(carry, lvl)
+    carry, outs = jax.lax.scan(body, carry, _chunked(lvl, nc))
+    outs = jax.tree.map(
+        lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outs
+    )
+    return carry, outs
 
 
 def sweep(ms: ModelStatic, theta, w):
@@ -166,69 +219,89 @@ def sweep(ms: ModelStatic, theta, w):
     ok = jnp.array(True)
     joints = {}
 
-    for t, lvl in enumerate(ms.levels):
-        B, S = lvl.rows.shape
-        P = lvl.prows.shape[1]
-        cxr = ms.coords[lvl.rows]
-        mvr = ms.mv[lvl.rows]
-        if P > 0:
-            cxp = ms.coords[lvl.prows]
-            mvp = ms.mv[lvl.prows]
-            Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
-            Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
-            LAi = joints[ms.level_lp[t]][lvl.lp_pos]  # (B, P, P)
-            M = LAi @ Kxc  # (B, P, S)
-            H = jnp.einsum("bps,bpq->bsq", M, LAi)  # Kxc' LAi' LAi
-        else:
-            Kxc = None
-            M = None
-            H = jnp.zeros((B, S, 0), dtype=ms.dtype)
+    for t, lvl_full in enumerate(ms.levels):
+        P = lvl_full.prows.shape[1]
+        is_ref = ms.level_is_ref[t]
+        emit_joint = is_ref and ms.serves_as_parent[t]
+        parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
 
-        if ms.level_is_ref[t]:
-            Kcc = _bcov(ms, params, cxr, mvr, cxr, mvr)
-            Rcc = identity_pad(Kcc, lvl.rmask)
+        def level_body(carry, lvl, P=P, is_ref=is_ref, emit_joint=emit_joint,
+                       parent_joint=parent_joint):
+            logdet, ok = carry
+            B, S = lvl.rows.shape
+            cxr = ms.coords[lvl.rows]
+            mvr = ms.mv[lvl.rows]
             if P > 0:
-                Rcc = Rcc - jnp.einsum("bps,bpt->bst", M, M)
-            L, okl = chol_masked(Rcc, lvl.rmask)
-            Rinv = tri_inv(L)
-            prec = jnp.einsum("bks,bkt->bst", Rinv, Rinv)
-            logdet = logdet + jnp.sum(
-                jnp.log(jnp.diagonal(Rinv, axis1=-2, axis2=-1))
-            )
-            ok = ok & jnp.all(okl)
-            if ms.serves_as_parent[t]:
-                if ms.sched.limited_tree:
-                    # limited tree: children condition on this block's rows
-                    # alone, so the factor is inv-chol of the raw Kcc
-                    # (reference: spamtree_model.cpp:901-903 inv_sympd(Kcc))
-                    Lp, okp = chol_masked(Kcc, lvl.rmask)
-                    ok = ok & jnp.all(okp)
-                    joints[t] = tri_inv(Lp)
-                else:
-                    Q = P + S
-                    J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
-                    if P > 0:
-                        J = J.at[:, :P, :P].set(LAi)
-                        J = J.at[:, P:, :P].set(
-                            -jnp.einsum("bst,btp->bsp", Rinv, H)
-                        )
-                    J = J.at[:, P:, P:].set(Rinv)
-                    joints[t] = J
-            leveldata.append(LevelData(H=H, prec=prec))
+                cxp = ms.coords[lvl.prows]
+                mvp = ms.mv[lvl.prows]
+                Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+                Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+                LAi = parent_joint[lvl.lp_pos]  # (B, P, P)
+                M = LAi @ Kxc  # (B, P, S)
+                H = jnp.einsum("bps,bpq->bsq", M, LAi)  # Kxc' LAi' LAi
+            else:
+                Kxc = M = None
+                H = jnp.zeros((B, S, 0), dtype=ms.dtype)
+
+            if is_ref:
+                Kcc = _bcov(ms, params, cxr, mvr, cxr, mvr)
+                Rcc = identity_pad(Kcc, lvl.rmask)
+                if P > 0:
+                    Rcc = Rcc - jnp.einsum("bps,bpt->bst", M, M)
+                L, okl = chol_masked(Rcc, lvl.rmask)
+                Rinv = tri_inv(L)
+                prec = jnp.einsum("bks,bkt->bst", Rinv, Rinv)
+                logdet = logdet + jnp.sum(
+                    jnp.log(jnp.diagonal(Rinv, axis1=-2, axis2=-1))
+                )
+                ok = ok & jnp.all(okl)
+                J = None
+                if emit_joint:
+                    if ms.sched.limited_tree:
+                        # limited tree: children condition on this block's
+                        # rows alone -> factor is inv-chol of the raw Kcc
+                        # (reference: spamtree_model.cpp:901-903)
+                        Lp, okp = chol_masked(Kcc, lvl.rmask)
+                        ok = ok & jnp.all(okp)
+                        J = tri_inv(Lp)
+                    else:
+                        Q = P + S
+                        J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
+                        if P > 0:
+                            J = J.at[:, :P, :P].set(LAi)
+                            J = J.at[:, P:, :P].set(
+                                -jnp.einsum("bst,btp->bsp", Rinv, H)
+                            )
+                        J = J.at[:, P:, P:].set(Rinv)
+                outs = (H, prec, J) if emit_joint else (H, prec)
+                return (logdet, ok), outs
+            else:
+                kdiag = jax.vmap(
+                    lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
+                )(cxr, mvr)
+                hk = jnp.einsum("bsp,bps->bs", H, Kxc) if P > 0 else 0.0
+                r = jnp.where(lvl.rmask, kdiag - hk, 1.0)
+                okl = jnp.isfinite(r) & (r > 0)
+                ok = ok & jnp.all(okl)
+                r = jnp.where(okl, r, 1.0)
+                logdet = logdet + (-0.5) * jnp.sum(
+                    jnp.where(lvl.rmask, jnp.log(r), 0.0)
+                )
+                return (logdet, ok), (H, 1.0 / r)
+
+        (logdet, ok), outs = _run_level(
+            lvl_full, ms.level_chunks[t], (logdet, ok), level_body
+        )
+        if emit_joint:
+            H, prec, J = outs
+            joints[t] = J
         else:
-            kdiag = jax.vmap(lambda a, b: pairwise_cov_diag(a, b, params, ms.spec))(
-                cxr, mvr
-            )
-            hk = jnp.einsum("bsp,bps->bs", H, Kxc) if P > 0 else 0.0
-            r = jnp.where(lvl.rmask, kdiag - hk, 1.0)
-            okl = jnp.isfinite(r) & (r > 0)
-            ok = ok & jnp.all(okl)
-            r = jnp.where(okl, r, 1.0)
-            prec = 1.0 / r
-            logdet = logdet + (-0.5) * jnp.sum(
-                jnp.where(lvl.rmask, jnp.log(r), 0.0)
-            )
-            leveldata.append(LevelData(H=H, prec=prec))
+            H, prec = outs
+        leveldata.append(LevelData(H=H, prec=prec))
+
+        # drop joint factors whose last consumer has now run (HBM liveness)
+        for k in [k for k, last in ms.last_consumer.items() if last == t]:
+            joints.pop(k, None)
 
     return tuple(leveldata), logdet, ok
 
@@ -264,60 +337,83 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key):
     acc_Smu = jnp.zeros((nb + 1, Smax), dtype=ms.dtype)
 
     for t in reversed(range(len(ms.levels))):
-        lvl = ms.levels[t]
-        data = leveldata[t]
-        B, S = lvl.rows.shape
-        P = lvl.prows.shape[1]
-        wpar = w[lvl.prows]  # (B, P)
-        z = bigz[lvl.rows]
-        ti = tl[lvl.rows]
-        resid = ti * (ms.y[lvl.rows] - XB[lvl.rows])
-        hw_prior = (
-            jnp.einsum("bsp,bp->bs", data.H, wpar)
-            if P > 0
-            else jnp.zeros((B, S), dtype=ms.dtype)
-        )
+        lvl_full = ms.levels[t]
+        data_full = leveldata[t]
+        P = lvl_full.prows.shape[1]
+        is_ref = ms.level_is_ref[t]
+        seg_off, seg_size = ms.level_segs[t]
+        nc = ms.level_chunks[t]
 
-        if ms.level_is_ref[t]:
-            Sigi = data.prec + acc_Sigi[lvl.block_ids][:, :S, :S]
-            Sigi = Sigi + ti[:, :, None] * jnp.eye(S, dtype=ms.dtype)
-            Lg, _ = chol_masked(Sigi, lvl.rmask)
-            Smu = jnp.einsum("bst,bt->bs", data.prec, hw_prior)
-            Smu = Smu + acc_Smu[lvl.block_ids][:, :S] + resid
-            tmp = tri_solve(Lg, Smu[..., None])
-            wu = tri_solve(Lg, tmp + z[..., None], trans=True)[..., 0]
-        else:
-            sig = data.prec + ti
-            smu = data.prec * hw_prior + resid
-            wu = smu / sig + z / jnp.sqrt(sig)
-        wu = jnp.where(lvl.rmask, wu, 0.0)
-        w = w.at[lvl.rows].set(wu)
-
-        if P > 0:
-            # push Gibbs messages to every parent (reference: .cpp:1158-1210).
-            # Ancestor a's padded rows occupy the static contiguous slice
-            # [off_a, off_a + s_a) of the parent layout, so only the
-            # per-ancestor diagonal blocks of the child Gram matrix
-            # H' prec H are ever formed; the full (P, P) product is not.
-            if ms.level_is_ref[t]:
-                AK = jnp.einsum("bsp,bst->bpt", data.H, data.prec)  # (B, P, S)
-            else:
-                AK = jnp.einsum("bsp,bs->bps", data.H, data.prec)
-            # msg_full = AK (w_u - H w_par); per segment add back the own-
-            # segment coupling G_aa w_par[seg] (the variable being sampled)
-            msg_full = jnp.einsum("bps,bs->bp", AK, wu) - jnp.einsum(
-                "bps,bs->bp", AK, hw_prior
+        def level_body(carry, args, P=P, is_ref=is_ref, seg_off=seg_off,
+                       seg_size=seg_size):
+            w, acc_Sigi, acc_Smu = carry
+            lvl, data = args
+            B, S = lvl.rows.shape
+            wpar = w[lvl.prows]  # (B, P)
+            z = bigz[lvl.rows]
+            ti = tl[lvl.rows]
+            resid = ti * (ms.y[lvl.rows] - XB[lvl.rows])
+            hw_prior = (
+                jnp.einsum("bsp,bp->bs", data.H, wpar)
+                if P > 0
+                else jnp.zeros((B, S), dtype=ms.dtype)
             )
-            seg_off, seg_size = ms.level_segs[t]
-            for a, (o, sa) in enumerate(zip(seg_off, seg_size)):
-                AK_a = AK[:, o : o + sa, :]  # (B, sa, S)
-                G_aa = jnp.einsum("bps,bsq->bpq", AK_a, data.H[:, :, o : o + sa])
-                msg_a = msg_full[:, o : o + sa] + jnp.einsum(
-                    "bpq,bq->bp", G_aa, wpar[:, o : o + sa]
+
+            if is_ref:
+                Sigi = data.prec + acc_Sigi[lvl.block_ids][:, :S, :S]
+                Sigi = Sigi + ti[:, :, None] * jnp.eye(S, dtype=ms.dtype)
+                Lg, _ = chol_masked(Sigi, lvl.rmask)
+                Smu = jnp.einsum("bst,bt->bs", data.prec, hw_prior)
+                Smu = Smu + acc_Smu[lvl.block_ids][:, :S] + resid
+                tmp = tri_solve(Lg, Smu[..., None])
+                wu = tri_solve(Lg, tmp + z[..., None], trans=True)[..., 0]
+            else:
+                sig = data.prec + ti
+                smu = data.prec * hw_prior + resid
+                wu = smu / sig + z / jnp.sqrt(sig)
+            wu = jnp.where(lvl.rmask, wu, 0.0)
+            w = w.at[lvl.rows].set(wu)
+
+            if P > 0:
+                # push Gibbs messages to every parent (reference:
+                # .cpp:1158-1210).  Ancestor a's padded rows occupy the
+                # static contiguous slice [off_a, off_a+s_a) of the parent
+                # layout, so only per-ancestor diagonal blocks of the child
+                # Gram matrix H' prec H are formed, never the full (P, P).
+                if is_ref:
+                    AK = jnp.einsum("bsp,bst->bpt", data.H, data.prec)
+                else:
+                    AK = jnp.einsum("bsp,bs->bps", data.H, data.prec)
+                # msg_full = AK (w_u - H w_par); per segment add back the
+                # own-segment coupling G_aa w_par[seg] (the sampled variable)
+                msg_full = jnp.einsum("bps,bs->bp", AK, wu) - jnp.einsum(
+                    "bps,bs->bp", AK, hw_prior
                 )
-                blk = lvl.anc_blocks[:, a]
-                acc_Sigi = acc_Sigi.at[blk, :sa, :sa].add(G_aa)
-                acc_Smu = acc_Smu.at[blk, :sa].add(msg_a)
+                for a, (o, sa) in enumerate(zip(seg_off, seg_size)):
+                    AK_a = AK[:, o : o + sa, :]  # (B, sa, S)
+                    G_aa = jnp.einsum(
+                        "bps,bsq->bpq", AK_a, data.H[:, :, o : o + sa]
+                    )
+                    msg_a = msg_full[:, o : o + sa] + jnp.einsum(
+                        "bpq,bq->bp", G_aa, wpar[:, o : o + sa]
+                    )
+                    blk = lvl.anc_blocks[:, a]
+                    acc_Sigi = acc_Sigi.at[blk, :sa, :sa].add(G_aa)
+                    acc_Smu = acc_Smu.at[blk, :sa].add(msg_a)
+
+            return (w, acc_Sigi, acc_Smu), None
+
+        if nc == 1:
+            (w, acc_Sigi, acc_Smu), _ = level_body(
+                (w, acc_Sigi, acc_Smu), (lvl_full, data_full)
+            )
+        else:
+            data_c = LevelData(
+                *[a.reshape(nc, a.shape[0] // nc, *a.shape[1:]) for a in data_full]
+            )
+            (w, acc_Sigi, acc_Smu), _ = jax.lax.scan(
+                level_body, (w, acc_Sigi, acc_Smu), (_chunked(lvl_full, nc), data_c)
+            )
 
     return w
 
@@ -333,25 +429,33 @@ def predict(ms: ModelStatic, theta, w, key):
     if ms.pred_arrays is None:
         return w
     params = unpack_theta(theta.astype(ms.dtype), ms.spec)
-    lvl = ms.pred_arrays
-    cxp = ms.coords[lvl.prows]
-    mvp = ms.mv[lvl.prows]
-    cxr = ms.coords[lvl.rows]
-    mvr = ms.mv[lvl.rows]
-    Kxx = _bcov(ms, params, cxp, mvp, cxp, mvp)
-    Kxx = Kxx * (lvl.pmask[:, :, None] & lvl.pmask[:, None, :])
-    L, _ = chol_masked(Kxx, lvl.pmask)
-    Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
-    Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
-    M = tri_solve(L, Kxc)  # (B, P, S)
-    u = tri_solve(L, w[lvl.prows][..., None])[..., 0]
-    mean = jnp.einsum("bps,bp->bs", M, u)
-    kdiag = jax.vmap(lambda a, b: pairwise_cov_diag(a, b, params, ms.spec))(cxr, mvr)
-    r = kdiag - jnp.einsum("bps,bps->bs", M, M)
-    r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
-    z = jax.random.normal(key, mean.shape, dtype=ms.dtype)
-    wu = jnp.where(lvl.rmask, mean + jnp.sqrt(r) * z, 0.0)
-    return w.at[lvl.rows].set(wu)
+    lvl_full = ms.pred_arrays
+    bigz = jax.random.normal(key, (ms.n + 1,), dtype=ms.dtype)
+
+    def body(w, lvl):
+        cxp = ms.coords[lvl.prows]
+        mvp = ms.mv[lvl.prows]
+        cxr = ms.coords[lvl.rows]
+        mvr = ms.mv[lvl.rows]
+        Kxx = _bcov(ms, params, cxp, mvp, cxp, mvp)
+        Kxx = Kxx * (lvl.pmask[:, :, None] & lvl.pmask[:, None, :])
+        L, _ = chol_masked(Kxx, lvl.pmask)
+        Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+        Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+        M = tri_solve(L, Kxc)  # (B, P, S)
+        u = tri_solve(L, w[lvl.prows][..., None])[..., 0]
+        mean = jnp.einsum("bps,bp->bs", M, u)
+        kdiag = jax.vmap(
+            lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
+        )(cxr, mvr)
+        r = kdiag - jnp.einsum("bps,bps->bs", M, M)
+        r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
+        z = bigz[lvl.rows]
+        wu = jnp.where(lvl.rmask, mean + jnp.sqrt(r) * z, 0.0)
+        return w.at[lvl.rows].set(wu), None
+
+    w, _ = _run_level(lvl_full, ms.pred_chunks, w, lambda c, l: body(c, l))
+    return w
 
 
 def gibbs_tausq(ms: ModelStatic, w, XB, key, tausq_ab):

@@ -57,7 +57,8 @@ class MCMCConfig(NamedTuple):
     sample_theta: bool = True
     sample_w: bool = True
     sample_predicts: bool = True
-    chunk: int = 100  # kept samples per device->host transfer chunk
+    chunk: int = 50  # kept samples per device->host transfer chunk
+    burn_chunk: int = 100  # burn iterations per device call (bounds call time)
 
 
 def init_state(
@@ -199,12 +200,16 @@ def run_mcmc(
     def keep_scan(s, keys):
         return jax.lax.scan(keep_body, s, keys)
 
-    burn_fn, keep_fn = burn_scan, keep_scan
+    # burn runs in bounded-length device calls: keeps single XLA executions
+    # short (relay/watchdog friendly at large n) and allows progress +
+    # checkpointing mid-burn
+    bc = min(cfg.burn_chunk, cfg.burn) if cfg.burn > 0 else 0
+    burn_fn = burn_scan
     if precompile:
-        # AOT-compile both scans so mcmc_time measures sampling, not XLA
+        # AOT-compile the scans so mcmc_time measures sampling, not XLA
         t_c = time.time()
-        if cfg.burn > 0:
-            dk = jax.random.split(jax.random.PRNGKey(0), cfg.burn)
+        if bc > 0:
+            dk = jax.random.split(jax.random.PRNGKey(0), bc)
             burn_fn = burn_scan.lower(state, dk).compile()
         m0 = min(cfg.chunk, cfg.keep)
         dk2 = jax.random.split(jax.random.PRNGKey(0), m0 * (cfg.thin + 1)).reshape(
@@ -218,19 +223,23 @@ def run_mcmc(
 
     t0 = time.time()
     key = state.key
-    if cfg.burn > 0:
+    burned = 0
+    while burned < cfg.burn:
+        b = min(bc, cfg.burn - burned)
         key, sub = jax.random.split(key)
-        bkeys = jax.random.split(sub, cfg.burn)
-        state = burn_fn(state, bkeys)
-        state = state._replace(key=key)
+        bkeys = jax.random.split(sub, b)
+        state = (burn_fn if b == bc else burn_scan)(state, bkeys)
+        burned += b
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
-            save_state(checkpoint_path, state)
+            save_state(checkpoint_path, state._replace(key=key))
         if verbose:
             jax.block_until_ready(state.w)
             ar = float(state.ram.accept_count) / max(float(state.ram.propos_count), 1)
-            print(f"[burn] {cfg.burn} iters, {time.time()-t0:.2f}s, accept {ar:.2%}")
+            print(f"[burn] {burned}/{cfg.burn} iters, {time.time()-t0:.2f}s, "
+                  f"accept {ar:.2%}")
+    state = state._replace(key=key)
 
     outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
     kept = 0
@@ -248,6 +257,11 @@ def run_mcmc(
             outs["tausq"].append(np.asarray(tausq_s))
             outs["theta"].append(np.asarray(theta_s))
             kept += m
+            if not np.isfinite(np.asarray(theta_s)).all():
+                # reference aborts on NaN loglik (spamtree_fit.cpp:234-237)
+                raise FloatingPointError(
+                    "non-finite theta in chain; aborting (NaN loglik guard)"
+                )
             if checkpoint_path:
                 from spamtree_tpu.utils.checkpoint import save_state
 

@@ -66,6 +66,20 @@ def test_debug_flags_fix_samplers():
     assert np.allclose(out["tausq_mcmc"], 0.25)
 
 
+def test_vignette_bivariate_misaligned():
+    """Vignette config: bivariate misaligned data from the exact AG10
+    cross-covariance; cross-margin prediction fills the misaligned holes
+    (reference: vignettes/spatial_multivariate.Rmd)."""
+    import sys
+    sys.path.insert(0, ".")
+    from examples.bivariate_misaligned import run
+
+    res = run(n_per_q=400, keep=80, burn=80, thin=1, verbose=False)
+    assert res["w_corr"] > 0.75, res
+    assert res["rmspe"] < 0.8 * res["sd_y"], res
+    assert 0.02 < res["accept"] < 0.7
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from spamtree_tpu.model.core import ModelStatic
     from spamtree_tpu.model.mcmc import MCMCConfig, init_state

@@ -150,6 +150,31 @@ def test_sweep_matches_bruteforce_limited_tree():
     np.testing.assert_allclose(got, want, rtol=1e-8)
 
 
+def test_chunked_levels_match_unchunked():
+    """B-axis chunking (sequential slabs) must be numerically identical."""
+    ms, tree, sched, tspec, coords, mv, y, na = _setup(n=280, tree_depth=2)
+    ms_c = ModelStatic(sched, coords, mv, np.where(na, y, np.nan),
+                       np.ones((ms.n, 1)), tspec.spec, dtype=jnp.float64,
+                       chunk_bytes=1e4)  # force chunking everywhere
+    assert max(ms_c.level_chunks) > 1
+    rng = np.random.default_rng(9)
+    theta = jnp.asarray(tspec.start)
+    w = jnp.asarray(np.append(rng.normal(size=ms.n), 0.0))
+    ld1, logdet1, ok1 = sweep(ms, theta, w)
+    ld2, logdet2, ok2 = sweep(ms_c, theta, w)
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(float(logdet1), float(logdet2), rtol=1e-12)
+    for a, b in zip(ld1, ld2):
+        bH = np.asarray(b.H)[: a.H.shape[0]]  # chunk padding adds dummy blocks
+        np.testing.assert_allclose(np.asarray(a.H), bH, atol=1e-12)
+    key = jax.random.PRNGKey(3)
+    ti = jnp.asarray([4.0])
+    XB = jnp.zeros((ms.n + 1,))
+    w1 = gibbs_w(ms, ld1, w, ti, XB, key)
+    w2 = gibbs_w(ms_c, ld2, w, ti, XB, key)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-10)
+
+
 def test_gibbs_w_targets_exact_posterior():
     ms, tree, sched, tspec, coords, mv, y, na = _setup(n=150, tree_depth=2, cell=9)
     theta = jnp.asarray(tspec.start)

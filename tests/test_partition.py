@@ -100,6 +100,45 @@ def test_multivariate_tree():
     assert len(sched.levels) >= 2
 
 
+def test_start_level_and_vector_K():
+    """start_level>0 roots the tree at a finer resolution; K may differ per
+    axis (reference: make_tree.R args, spamtree_fit.R:4-5)."""
+    coords, na, mv = _toy(n=500)
+    tree = make_tree(coords, na, mv, axis_cell_size=[4, 5], K=[2, 3],
+                     start_level=1, tree_depth=3)
+    sched = build_schedule(tree)
+    # first level has multiple root blocks (K1*K2 cells at res 2)
+    assert sched.levels[0].P == 0
+    assert sched.levels[0].B > 1
+    total = sum(len(r) for r in tree.block_rows)
+    assert total == len(coords)
+
+
+def test_mvbias_prefers_sparse_margin():
+    """mvbias>0 weights knot picking toward the sparser margin
+    (reference: make_tree.R:8-22)."""
+    rng = np.random.default_rng(7)
+    n = 800
+    coords = rng.uniform(size=(n, 2))
+    mv = (rng.uniform(size=n) < 0.2).astype(np.int64)  # margin 1 sparse
+    na = np.ones(n, dtype=bool)
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    coords, mv = coords[order], mv[order]
+    t0 = make_tree(coords, na, mv, axis_cell_size=3, K=2, mvbias=0.0,
+                   rng=np.random.default_rng(1))
+    t2 = make_tree(coords, na, mv, axis_cell_size=3, K=2, mvbias=2.0,
+                   rng=np.random.default_rng(1))
+
+    def frac_sparse_at_top(tree, lev=2):
+        rows = np.concatenate(
+            [tree.block_rows[u] for u in range(tree.n_blocks)
+             if tree.block_level[u] <= lev]
+        )
+        return mv[rows].mean()
+
+    assert frac_sparse_at_top(t2) > frac_sparse_at_top(t0)
+
+
 def test_limited_tree():
     coords, na, mv = _toy()
     tree = make_tree(coords, na, mv, axis_cell_size=5, K=2, limited_tree=True)
