@@ -7,6 +7,24 @@ blocked Gibbs + adaptive Metropolis, designed for TPU (batched padded block
 kernels, single-jit MCMC scan, device RNG, mesh sharding over the block axis).
 """
 
+import os as _os
+
+import jax as _jax
+
+# persistent XLA compilation cache: TPU compiles of the full MCMC program are
+# minutes-long; caching makes repeated runs (same shapes) start instantly.
+if not _os.environ.get("SPAMTREE_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "SPAMTREE_COMPILE_CACHE", _os.path.expanduser("~/.cache/spamtree_tpu_xla")
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from spamtree_tpu.api import spamtree
 from spamtree_tpu.ops.covariance import cross_covariance_ag10 as CrossCovarianceAG10
 from spamtree_tpu.utils.summaries import list_mean, list_qtile

@@ -161,11 +161,17 @@ class ModelStatic:
         # joint factors at deep levels are the largest transients in the
         # sweep, so they are dropped as soon as their last consumer ran)
         used = {p.lp_level for p in sched.levels if p.lp_level >= 0}
+        self.pred_lp = sched.pred.lp_level if sched.pred is not None else -1
+        if self.pred_lp >= 0:
+            used.add(self.pred_lp)
         self.serves_as_parent = [t in used for t in range(len(sched.levels))]
         self.last_consumer = {}
         for t2, p in enumerate(sched.levels):
             if p.lp_level >= 0:
                 self.last_consumer[p.lp_level] = t2
+        if self.pred_lp >= 0:
+            # the prediction operators are built after the level loop
+            self.last_consumer[self.pred_lp] = len(sched.levels)
 
 
     # mv id per padded row index, sentinel -> margin 0 (always masked out)
@@ -303,7 +309,39 @@ def sweep(ms: ModelStatic, theta, w):
         for k in [k for k, last in ms.last_consumer.items() if last == t]:
             joints.pop(k, None)
 
-    return tuple(leveldata), logdet, ok
+    # prediction operators: conditional mean map H and per-location variance r
+    # for the all-missing blocks, computed while the ancestor factors are
+    # live.  The accept-swap then keeps them consistent with theta, making
+    # per-iteration prediction a matmul + scaled draw (the reference instead
+    # lazily rebuilds Kxx_inv at predict time; predict_std
+    # spamtree_model.cpp:1256-1296).
+    pred_data = None
+    if ms.pred_arrays is not None:
+        plvl = ms.pred_arrays
+        parent_joint = joints.get(ms.pred_lp)
+
+        def pred_body(carry, lvl):
+            cxr = ms.coords[lvl.rows]
+            mvr = ms.mv[lvl.rows]
+            cxp = ms.coords[lvl.prows]
+            mvp = ms.mv[lvl.prows]
+            Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+            Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+            LAi = parent_joint[lvl.lp_pos]
+            M = LAi @ Kxc
+            H = jnp.einsum("bps,bpq->bsq", M, LAi)
+            kdiag = jax.vmap(
+                lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
+            )(cxr, mvr)
+            r = kdiag - jnp.einsum("bsp,bps->bs", H, Kxc)
+            # chol-failure -> deterministic mean (reference: .cpp:1316-1322)
+            r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
+            return carry, (H, r)
+
+        _, (Hp, rp) = _run_level(plvl, ms.pred_chunks, None, pred_body)
+        pred_data = LevelData(H=Hp, prec=rp)  # prec slot holds variance r
+
+    return tuple(leveldata), pred_data, logdet, ok
 
 
 def quad_loglik(ms: ModelStatic, leveldata, w):
@@ -326,11 +364,13 @@ def quad_loglik(ms: ModelStatic, leveldata, w):
     return total
 
 
-def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key):
+def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None):
     """Leaf->root blocked Gibbs update of w with child->parent scatter-add
     message accumulation (reference: gibbs_sample_w_std,
     spamtree_model.cpp:1011-1226)."""
     n, nb, Smax = ms.n, ms.sched.n_blocks, ms.sched.Smax
+    if y is None:
+        y = ms.y
     tl = ms.tausq_long(tausq_inv)
     bigz = jax.random.normal(key, (n + 1,), dtype=ms.dtype)
     acc_Sigi = jnp.zeros((nb + 1, Smax, Smax), dtype=ms.dtype)
@@ -352,7 +392,7 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key):
             wpar = w[lvl.prows]  # (B, P)
             z = bigz[lvl.rows]
             ti = tl[lvl.rows]
-            resid = ti * (ms.y[lvl.rows] - XB[lvl.rows])
+            resid = ti * (y[lvl.rows] - XB[lvl.rows])
             hw_prior = (
                 jnp.einsum("bsp,bp->bs", data.H, wpar)
                 if P > 0
@@ -418,50 +458,59 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key):
     return w
 
 
-def predict(ms: ModelStatic, theta, w, key):
+def predict(ms: ModelStatic, pred_data, w, key):
     """Conditional-normal draws at all-missing blocks
     (reference: predict_std, spamtree_model.cpp:1234-1358).
 
-    Recomputes the parents' joint covariance directly per kept iteration
-    instead of persisting propagated factors -- mathematically identical to
-    the reference's lazily-updated ``Kxx_inv(u_par)`` path (.cpp:1274-1296)
-    and cheap on TPU."""
-    if ms.pred_arrays is None:
+    The conditional-mean operator H and per-location variances r were built
+    during the theta likelihood sweep (and swapped on accept), so this is
+    just w = H w_par + sqrt(r) z per prediction block."""
+    if ms.pred_arrays is None or pred_data is None:
         return w
-    params = unpack_theta(theta.astype(ms.dtype), ms.spec)
-    lvl_full = ms.pred_arrays
+    lvl = ms.pred_arrays
+    mean = jnp.einsum("bsp,bp->bs", pred_data.H, w[lvl.prows])
+    z = jax.random.normal(key, mean.shape, dtype=ms.dtype)
+    wu = jnp.where(lvl.rmask, mean + jnp.sqrt(pred_data.prec) * z, 0.0)
+    return w.at[lvl.rows].set(wu)
+
+
+def prior_sample_w(ms: ModelStatic, leveldata, key):
+    """Draw w from the treed-DAG prior SpamTree_G(0, C_theta).
+
+    Root->leaf: w_u = H_u w_par + L_u z with L_u L_u' = R_u, using the stored
+    conditional precisions (for reference levels L_u = chol(prec)^-T; for
+    thin levels scalar sqrt(1/prec)).  Used by the Geweke joint-distribution
+    test and available for forward simulation from a fitted tree.
+    """
+    w = jnp.zeros((ms.n + 1,), dtype=ms.dtype)
     bigz = jax.random.normal(key, (ms.n + 1,), dtype=ms.dtype)
-
-    def body(w, lvl):
-        cxp = ms.coords[lvl.prows]
-        mvp = ms.mv[lvl.prows]
-        cxr = ms.coords[lvl.rows]
-        mvr = ms.mv[lvl.rows]
-        Kxx = _bcov(ms, params, cxp, mvp, cxp, mvp)
-        Kxx = Kxx * (lvl.pmask[:, :, None] & lvl.pmask[:, None, :])
-        L, _ = chol_masked(Kxx, lvl.pmask)
-        Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
-        Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
-        M = tri_solve(L, Kxc)  # (B, P, S)
-        u = tri_solve(L, w[lvl.prows][..., None])[..., 0]
-        mean = jnp.einsum("bps,bp->bs", M, u)
-        kdiag = jax.vmap(
-            lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
-        )(cxr, mvr)
-        r = kdiag - jnp.einsum("bps,bps->bs", M, M)
-        r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
+    for t, lvl in enumerate(ms.levels):
+        data = leveldata[t]
+        P = lvl.prows.shape[1]
         z = bigz[lvl.rows]
-        wu = jnp.where(lvl.rmask, mean + jnp.sqrt(r) * z, 0.0)
-        return w.at[lvl.rows].set(wu), None
-
-    w, _ = _run_level(lvl_full, ms.pred_chunks, w, lambda c, l: body(c, l))
+        mean = (
+            jnp.einsum("bsp,bp->bs", data.H, w[lvl.prows])
+            if P > 0
+            else jnp.zeros(z.shape, dtype=ms.dtype)
+        )
+        if ms.level_is_ref[t]:
+            # prec = Rinv' Rinv with Rinv = L^-1 -> draw = L z = solve(Lp', z)
+            # where Lp = chol(prec) satisfies Lp Lp' = R^-1, so L = Lp^-T
+            Lp, _ = chol_masked(data.prec, lvl.rmask)
+            draw = tri_solve(Lp, z[..., None], trans=True)[..., 0]
+        else:
+            draw = z / jnp.sqrt(data.prec)
+        wu = jnp.where(lvl.rmask, mean + draw, 0.0)
+        w = w.at[lvl.rows].set(wu)
     return w
 
 
-def gibbs_tausq(ms: ModelStatic, w, XB, key, tausq_ab):
+def gibbs_tausq(ms: ModelStatic, w, XB, key, tausq_ab, y=None):
     """Conjugate Gamma update of noise precisions per margin
     (reference: gibbs_sample_tausq, spamtree_model.cpp:1393-1417)."""
-    resid = ms.y[: ms.n] - XB[: ms.n] - w[: ms.n]
+    if y is None:
+        y = ms.y
+    resid = y[: ms.n] - XB[: ms.n] - w[: ms.n]
     r2 = jnp.einsum("i,ij->j", resid * resid, ms.mv_onehot_obs)
     a = jnp.asarray(tausq_ab[0] + ms.n_obs_by_q / 2.0, dtype=ms.dtype)
     scale = 1.0 / (tausq_ab[1] + 0.5 * r2)
@@ -469,11 +518,13 @@ def gibbs_tausq(ms: ModelStatic, w, XB, key, tausq_ab):
     return g * scale
 
 
-def gibbs_beta(ms: ModelStatic, w, tausq_inv, key, beta_Vi, beta_Vim):
+def gibbs_beta(ms: ModelStatic, w, tausq_inv, key, beta_Vi, beta_Vim, y=None):
     """Conjugate Normal update of regression coefficients per margin
     (reference: gibbs_sample_beta, spamtree_model.cpp:1364-1391)."""
     p, q = ms.p, ms.q
-    yw = ms.y[: ms.n] - w[: ms.n]
+    if y is None:
+        y = ms.y
+    yw = y[: ms.n] - w[: ms.n]
     # (p, q): X' ((y - w) masked to observed margin j)
     Xty = jnp.einsum("ip,ij->pj", ms.X, yw[:, None] * ms.mv_onehot_obs)
     betas = []

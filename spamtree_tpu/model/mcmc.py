@@ -39,6 +39,7 @@ class MCMCState(NamedTuple):
     XB: jax.Array  # (n+1,)
     theta: jax.Array
     leveldata: tuple
+    pred_data: object  # LevelData of prediction operators (or None)
     logdetCi: jax.Array
     ram: RAMState
     it: jax.Array  # iteration counter for RAM warmup
@@ -85,11 +86,13 @@ def init_state(
     if sd.ndim < 2:
         sd = np.eye(nt) * float(sd)
     ram = ram_init(jnp.asarray(sd, dtype=ms.dtype))
-    leveldata, logdet, ok = jax.jit(lambda th, ww: sweep(ms, th, ww))(theta, w)
+    leveldata, pred_data, logdet, ok = jax.jit(
+        lambda th, ww: sweep(ms, th, ww)
+    )(theta, w)
     return MCMCState(
         key=jax.random.PRNGKey(seed),
         w=w, beta=beta, tausq_inv=tausq_inv, XB=XB, theta=theta,
-        leveldata=leveldata, logdetCi=logdet, ram=ram,
+        leveldata=leveldata, pred_data=pred_data, logdetCi=logdet, ram=ram,
         it=jnp.zeros((), dtype=jnp.int32),
     )
 
@@ -106,6 +109,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
     def step(state: MCMCState, key, predicting: bool) -> MCMCState:
         kw, kt, ku, kp, kq, kb = jax.random.split(key, 6)
         w, leveldata, logdetCi, theta = state.w, state.leveldata, state.logdetCi, state.theta
+        pred_data = state.pred_data
         ram = state.ram
 
         if cfg.sample_w:
@@ -116,7 +120,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             U = jax.random.normal(kt, (theta.shape[0],), dtype=ms.dtype)
             prop = transf_back(transf_fwd(theta, bnds) + ram.paramsd @ U, bnds)
             prop, _ = clamp_bounds(prop, bnds)
-            new_ld, new_logdet, ok = sweep(ms, prop, w)
+            new_ld, new_pd, new_logdet, ok = sweep(ms, prop, w)
             new_ll = new_logdet + quad_loglik(ms, new_ld, w)
             jac = calc_jacobian(prop, theta, bnds)
             logaccept = new_ll - cur_ll + jac
@@ -129,6 +133,10 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             leveldata = jax.tree.map(
                 lambda a, b: jnp.where(accepted, a, b), new_ld, leveldata
             )
+            if pred_data is not None:
+                pred_data = jax.tree.map(
+                    lambda a, b: jnp.where(accepted, a, b), new_pd, pred_data
+                )
             if cfg.adapting:
                 alpha = jnp.where(
                     ok & finite, jnp.minimum(1.0, jnp.exp(logaccept)), 0.0
@@ -140,7 +148,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             )
 
         if predicting and cfg.sample_predicts and cfg.sample_w:
-            w = predict(ms, theta, w, kp)
+            w = predict(ms, pred_data, w, kp)
 
         tausq_inv = state.tausq_inv
         if cfg.sample_tausq:
@@ -152,8 +160,8 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
 
         return MCMCState(
             key=state.key, w=w, beta=beta, tausq_inv=tausq_inv, XB=XB,
-            theta=theta, leveldata=leveldata, logdetCi=logdetCi, ram=ram,
-            it=state.it + 1,
+            theta=theta, leveldata=leveldata, pred_data=pred_data,
+            logdetCi=logdetCi, ram=ram, it=state.it + 1,
         )
 
     return step
@@ -167,6 +175,7 @@ def run_mcmc(
     verbose: bool = False,
     precompile: bool = False,
     checkpoint_path: str | None = None,
+    sink_dir: str | None = None,
 ):
     """Burn + chunked keep phases; returns dict of host-side sample arrays.
 
@@ -241,6 +250,18 @@ def run_mcmc(
                   f"accept {ar:.2%}")
     state = state._replace(key=key)
 
+    # with a sink, the big row-indexed draws (w, yhat) stream to disk on the
+    # native writer thread instead of accumulating in host RAM (for n ~ 1e6)
+    sinks = None
+    if sink_dir is not None:
+        import os
+
+        from spamtree_tpu.utils.native import SampleSink
+
+        os.makedirs(sink_dir, exist_ok=True)
+        sinks = {k: SampleSink(os.path.join(sink_dir, f"{k}_mcmc.f32"))
+                 for k in ("w", "yhat")}
+
     outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
     kept = 0
     try:
@@ -251,8 +272,12 @@ def run_mcmc(
             fn = keep_compiled if (keep_compiled is not None and m == min(cfg.chunk, cfg.keep)) else keep_scan
             state, (w_s, yhat_s, beta_s, tausq_s, theta_s) = fn(state, ckeys)
             state = state._replace(key=key)
-            outs["w"].append(np.asarray(w_s))
-            outs["yhat"].append(np.asarray(yhat_s))
+            if sinks is not None:
+                sinks["w"].push(np.asarray(w_s, dtype=np.float32))
+                sinks["yhat"].push(np.asarray(yhat_s, dtype=np.float32))
+            else:
+                outs["w"].append(np.asarray(w_s))
+                outs["yhat"].append(np.asarray(yhat_s))
             outs["beta"].append(np.asarray(beta_s))
             outs["tausq"].append(np.asarray(tausq_s))
             outs["theta"].append(np.asarray(theta_s))
@@ -275,7 +300,12 @@ def run_mcmc(
     except KeyboardInterrupt:
         print("MCMC interrupted; returning partial results.")
 
+    if sinks is not None:
+        for k, sk in sinks.items():
+            sk.close()
     res = {k: (np.concatenate(v) if v else np.zeros((0,))) for k, v in outs.items()}
+    if sinks is not None:
+        res["sink_files"] = {k: sk.path for k, sk in sinks.items()}
     res["mcmc_time"] = time.time() - t0
     res["paramsd"] = np.asarray(state.ram.paramsd)
     res["accept_ratio"] = float(state.ram.accept_count) / max(

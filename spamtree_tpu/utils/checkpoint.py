@@ -43,7 +43,9 @@ def load_state(path: str, ms: ModelStatic) -> MCMCState:
     dt = ms.dtype
     theta = jnp.asarray(z["theta"], dtype=dt)
     w = jnp.asarray(z["w"], dtype=dt)
-    leveldata, logdet, ok = jax.jit(lambda t, ww: sweep(ms, t, ww))(theta, w)
+    leveldata, pred_data, logdet, ok = jax.jit(
+        lambda t, ww: sweep(ms, t, ww)
+    )(theta, w)
     if not bool(ok):
         raise RuntimeError("checkpointed theta fails Cholesky on rebuild")
     ram = RAMState(
@@ -61,6 +63,7 @@ def load_state(path: str, ms: ModelStatic) -> MCMCState:
         XB=jnp.asarray(z["XB"], dtype=dt),
         theta=theta,
         leveldata=leveldata,
+        pred_data=pred_data,
         logdetCi=logdet,
         ram=ram,
         it=jnp.asarray(z["it"], dtype=jnp.int32),

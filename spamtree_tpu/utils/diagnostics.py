@@ -35,16 +35,16 @@ def time_phases(ms: ModelStatic, state, iters: int = 20) -> dict:
     f_sweep = jax.jit(lambda th, w: sweep(ms, th, w))
     f_quad = jax.jit(lambda ld, w: quad_loglik(ms, ld, w))
     f_gw = jax.jit(lambda ld, w, ti, xb, k: gibbs_w(ms, ld, w, ti, xb, k))
-    f_pred = jax.jit(lambda th, w, k: predict(ms, th, w, k))
+    f_pred = jax.jit(lambda pd_, w, k: predict(ms, pd_, w, k))
     f_tau = jax.jit(lambda w, xb, k: gibbs_tausq(ms, w, xb, k, (2.01, 1.0)))
     f_beta = jax.jit(lambda w, ti, k: gibbs_beta(ms, w, ti, k, Vi, Vim))
 
-    ld, logdet, ok = f_sweep(state.theta, state.w)
+    ld, pd, logdet, ok = f_sweep(state.theta, state.w)
     phases = {
         "sweep(theta-loglik)": lambda: f_sweep(state.theta, state.w),
         "quad_loglik": lambda: f_quad(ld, state.w),
         "gibbs_w": lambda: f_gw(ld, state.w, state.tausq_inv, state.XB, key),
-        "predict": lambda: f_pred(state.theta, state.w, key),
+        "predict": lambda: f_pred(pd, state.w, key),
         "gibbs_tausq": lambda: f_tau(state.w, state.XB, key),
         "gibbs_beta": lambda: f_beta(state.w, state.tausq_inv, key),
     }

@@ -57,7 +57,7 @@ def test_model1_nonspatial_multiinput():
     theta = np.array([1.5, 0.3, 0.7, 1.1, 0.2])
     w = rng.normal(size=n)
     wj = jnp.asarray(np.append(w, 0.0))
-    ld, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
+    ld, _pd, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
     assert bool(ok)
     got = float(logdet + quad_loglik(ms, ld, wj))
     params = unpack_theta(jnp.asarray(theta), tspec.spec)
@@ -88,7 +88,7 @@ def test_model2_elevation():
     theta = np.abs(rng.normal(1.0, 0.2, tspec.n_theta)) + 0.3
     w = rng.normal(size=n)
     wj = jnp.asarray(np.append(w, 0.0))
-    ld, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
+    ld, _pd, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
     assert bool(ok)
     got = float(logdet + quad_loglik(ms, ld, wj))
     params = unpack_theta(jnp.asarray(theta), tspec.spec)

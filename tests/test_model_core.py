@@ -85,7 +85,7 @@ def test_sweep_matches_bruteforce():
     w = rng.normal(size=ms.n)
     wj = jnp.asarray(np.append(w, 0.0))
 
-    leveldata, logdet, ok = jax.jit(lambda t, w_: sweep(ms, t, w_))(
+    leveldata, _pd, logdet, ok = jax.jit(lambda t, w_: sweep(ms, t, w_))(
         jnp.asarray(theta), wj
     )
     assert bool(ok)
@@ -112,7 +112,7 @@ def test_sweep_matches_bruteforce_bivariate():
     theta[-1] = 0.8  # latent cross-distance
     w = rng.normal(size=ms.n)
     wj = jnp.asarray(np.append(w, 0.0))
-    leveldata, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
+    leveldata, _pd, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
     assert bool(ok)
     got = float(logdet + quad_loglik(ms, leveldata, wj))
     C = _dense_cov(ms, theta, coords, mv)
@@ -134,7 +134,7 @@ def test_sweep_matches_bruteforce_limited_tree():
     theta = tspec.start.copy()
     w = rng.normal(size=ms.n)
     wj = jnp.asarray(np.append(w, 0.0))
-    leveldata, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
+    leveldata, _pd, logdet, ok = sweep(ms, jnp.asarray(theta), wj)
     assert bool(ok)
     got = float(logdet + quad_loglik(ms, leveldata, wj))
     C = _dense_cov(ms, theta, coords, mv)
@@ -160,8 +160,8 @@ def test_chunked_levels_match_unchunked():
     rng = np.random.default_rng(9)
     theta = jnp.asarray(tspec.start)
     w = jnp.asarray(np.append(rng.normal(size=ms.n), 0.0))
-    ld1, logdet1, ok1 = sweep(ms, theta, w)
-    ld2, logdet2, ok2 = sweep(ms_c, theta, w)
+    ld1, _p1, logdet1, ok1 = sweep(ms, theta, w)
+    ld2, _p2, logdet2, ok2 = sweep(ms_c, theta, w)
     assert bool(ok1) and bool(ok2)
     np.testing.assert_allclose(float(logdet1), float(logdet2), rtol=1e-12)
     for a, b in zip(ld1, ld2):
@@ -182,7 +182,7 @@ def test_gibbs_w_targets_exact_posterior():
     tausq_inv = jnp.asarray([4.0])
     XB = jnp.zeros((n + 1,))
     wj = jnp.zeros((n + 1,))
-    leveldata, logdet, ok = sweep(ms, theta, wj)
+    leveldata, _pd, logdet, ok = sweep(ms, theta, wj)
     assert bool(ok)
 
     # exact posterior from the DAG-factorized prior precision
