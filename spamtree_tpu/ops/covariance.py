@@ -180,16 +180,25 @@ def pairwise_cov(
         # (reference: covariance_functions.cpp:220-221 -> cexpcov 95-111)
         return params.ai1[0] * jnp.exp(-params.thetamv[0] * h)
 
-    v = params.Dmat[mv1[:, None], mv2[None, :]]
+    # TPU-friendly form: the latent cross-distance table lookup
+    # v = Dmat[mv_i, mv_j] is a gather-free one-hot contraction, and since
+    # C_base(h, 0) is the same-margin base, a single C_base(h, v) evaluation
+    # covers both branches -- only the margin-specific nugget term needs the
+    # v == 0 select.  Exactly equal to the reference's per-pair branches
+    # (covariance_functions.cpp:250-255), including the degenerate case of a
+    # user-supplied Dmat with zero off-diagonals (row-margin ai1^2 applies).
+    q = params.ai1.shape[0]
+    oh1 = jax.nn.one_hot(mv1, q, dtype=cx1.dtype)
+    oh2 = jax.nn.one_hot(mv2, q, dtype=cx2.dtype)
+    v = jnp.einsum("iq,qr,jr->ij", oh1, params.Dmat, oh2)
     ai1_i = params.ai1[mv1][:, None]
     ai1_j = params.ai1[mv2][None, :]
     ai2_i = params.ai2[mv1][:, None]
     phi_ii = params.phi_i[mv1][:, None]
-    same_val = ai1_i * ai1_i * _c_base(h, jnp.zeros_like(v), params.thetamv, spec.q) + (
-        ai2_i * ai2_i
-    ) * jnp.exp(-phi_ii * h)
-    cross_val = ai1_i * ai1_j * _c_base(h, v, params.thetamv, spec.q)
-    return jnp.where(v == 0, same_val, cross_val)
+    same = v == 0
+    coef = jnp.where(same, ai1_i * ai1_i, ai1_i * ai1_j)
+    nugget = jnp.where(same, ai2_i * ai2_i * jnp.exp(-phi_ii * h), 0.0)
+    return coef * _c_base(h, v, params.thetamv, spec.q) + nugget
 
 
 def pairwise_cov_diag(
