@@ -11,6 +11,11 @@ import os as _os
 
 import jax as _jax
 
+# TPU f32 matmuls default to bf16 passes; the treed-GP Schur complements
+# (Kcc - M'M with strongly correlated parents) cancel catastrophically at
+# bf16 and fail Cholesky.  Full-precision f32 matmuls throughout.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 # persistent XLA compilation cache: TPU compiles of the full MCMC program are
 # minutes-long; caching makes repeated runs (same shapes) start instantly.
 if not _os.environ.get("SPAMTREE_NO_COMPILE_CACHE"):

@@ -63,7 +63,7 @@ def spamtree(
     mv0 = np.searchsorted(uniq, mv_id)  # 0-based margin ids
 
     mcmc = dict(keep=1000, burn=0, thin=1) | (mcmc or {})
-    settings = dict(adapting=True, mcmcsd=0.01) | (settings or {})
+    settings = dict(adapting=True, mcmcsd=None) | (settings or {})
     prior = dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
         beta=None, tausq=None,
@@ -98,16 +98,32 @@ def spamtree(
     )
     sched = build_schedule(tree, limited_tree=limited_tree)
 
+    start_theta = starting["theta"]
+    if start_theta is None:
+        # moment-based start instead of the reference's bounds midpoint
+        # (reference starts at ~toplim/2 which takes thousands of iterations
+        # to adapt away from at q > 1); pass starting=dict(theta=...) to
+        # reproduce any specific start.
+        from spamtree_tpu.model.params import auto_start_theta
+
+        start_theta = auto_start_theta(dd, q, cs, ys, mvs)
     tspec = make_theta_spec(
         dd, q,
         btmlim=prior["btmlim"] if prior["btmlim"] is not None else 1e-3,
         toplim=prior["toplim"] if prior["toplim"] is not None else 1e3,
         vlim=prior["vlim"],
         set_unif_bounds=prior["set_unif_bounds"],
-        start_theta=starting["theta"],
+        start_theta=start_theta,
     )
 
     ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=dtype)
+    if settings["mcmcsd"] is None:
+        # scale-aware initial proposal sd: the theta posterior contracts like
+        # 1/sqrt(n), so the reference's fixed 0.01 logit-scale proposals are
+        # orders of magnitude too wide at large n and the RAM adapter spends
+        # most of the chain shrinking them
+        nt = tspec.n_theta
+        settings["mcmcsd"] = min(0.01, 1.0 / (nt * np.sqrt(max(na_which.sum(), 1))))
     beta_Vi = 0.01 if prior["beta"] is None else prior["beta"]
     tausq_ab = (2.01, 1.0) if prior["tausq"] is None else tuple(prior["tausq"])
     cfg = MCMCConfig(

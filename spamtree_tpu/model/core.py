@@ -33,7 +33,13 @@ from spamtree_tpu.ops.covariance import (
     pairwise_cov_diag,
     unpack_theta,
 )
-from spamtree_tpu.ops.linalg import chol_masked, identity_pad, tri_inv, tri_solve
+from spamtree_tpu.ops.linalg import (
+    chol_inv_masked,
+    chol_masked,
+    identity_pad,
+    tri_inv,
+    tri_solve,
+)
 from spamtree_tpu.tree.schedule import Schedule
 
 
@@ -71,11 +77,17 @@ class ModelStatic:
         dtype=jnp.float32,
         block_multiple: int = 1,
         chunk_bytes: float = 512e6,
+        use_pallas: bool | None = None,
     ):
         n = sched.n
         self.sched = sched
         self.spec = spec
         self.dtype = dtype
+        if use_pallas is None:
+            from spamtree_tpu.ops.pallas_chol import use_pallas_chol
+
+            use_pallas = use_pallas_chol(64) and dtype == jnp.float32
+        self.use_pallas = use_pallas
         self.n = n
         self.p = X.shape[1]
         self.q = spec.q
@@ -184,7 +196,9 @@ class ModelStatic:
             for i, u in enumerate(p.block_ids):
                 level_of_block[int(u)] = t
         self.seg_level = []  # per level: parent sweep-level of each segment
-        self.assign = {}  # (t_child, a) -> (B_parent, B_child_padded) matrix
+        self.assign = {}  # (t_child, a) -> (B_parent, B_child) 0/1 matrix
+        self.anc_pos = {}  # (t_child, a) -> parent position in its level batch
+        assign_bytes = 64e6  # above this, route via position-scatter instead
         for t, lvlj in enumerate(self.levels):
             plan = sched.levels[t]
             segs = []
@@ -197,18 +211,20 @@ class ModelStatic:
                 tp = tp_set.pop()
                 segs.append(tp)
                 par_ids = sched.levels[tp].block_ids
-                Bc = anc_a.shape[0]
-                A = np.zeros((len(par_ids), Bc), dtype=np.float32)
                 pos = {int(u): i for i, u in enumerate(par_ids)}
+                Bc = anc_a.shape[0]
+                Bp = self.levels[tp].rows.shape[0]
+                pvec = np.full(Bc, Bp, dtype=np.int64)  # sentinel = Bp (dummy row)
                 for c in range(Bc):
                     b = int(anc_a[c])
                     if b in pos:
-                        A[pos[b], c] = 1.0
-                # pad parent rows to the padded parent batch size
-                Bp = self.levels[tp].rows.shape[0]
-                if Bp > A.shape[0]:
-                    A = np.vstack([A, np.zeros((Bp - A.shape[0], Bc), np.float32)])
-                self.assign[(t, a)] = jnp.asarray(A, dtype=dtype)
+                        pvec[c] = pos[b]
+                if Bp * Bc * 4 <= assign_bytes:
+                    A = np.zeros((Bp + 1, Bc), dtype=np.float32)
+                    A[pvec, np.arange(Bc)] = 1.0
+                    self.assign[(t, a)] = jnp.asarray(A[:Bp], dtype=dtype)
+                else:
+                    self.anc_pos[(t, a)] = jnp.asarray(pvec, dtype=jnp.int32)
             self.seg_level.append(segs)
 
 
@@ -292,8 +308,9 @@ def sweep(ms: ModelStatic, theta, w):
                 Rcc = identity_pad(Kcc, lvl.rmask)
                 if P > 0:
                     Rcc = Rcc - jnp.einsum("bps,bpt->bst", M, M)
-                L, okl = chol_masked(Rcc, lvl.rmask)
-                Rinv = tri_inv(L)
+                L, Rinv, okl = chol_inv_masked(
+                    Rcc, lvl.rmask, ms.use_pallas and S <= 64
+                )
                 prec = jnp.einsum("bks,bkt->bst", Rinv, Rinv)
                 logdet = logdet + jnp.sum(
                     jnp.log(jnp.diagonal(Rinv, axis1=-2, axis2=-1))
@@ -305,9 +322,11 @@ def sweep(ms: ModelStatic, theta, w):
                         # limited tree: children condition on this block's
                         # rows alone -> factor is inv-chol of the raw Kcc
                         # (reference: spamtree_model.cpp:901-903)
-                        Lp, okp = chol_masked(Kcc, lvl.rmask)
+                        Lp, Jp, okp = chol_inv_masked(
+                            Kcc, lvl.rmask, ms.use_pallas and S <= 64
+                        )
                         ok = ok & jnp.all(okp)
-                        J = tri_inv(Lp)
+                        J = Jp
                     else:
                         Q = P + S
                         J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
@@ -442,9 +461,14 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None):
                 if acc_sl is not None:
                     Sigi = Sigi + acc_sl[0]
                     Smu = Smu + acc_sl[1]
-                Lg, _ = chol_masked(Sigi, lvl.rmask)
-                tmp = tri_solve(Lg, Smu[..., None])
-                wu = tri_solve(Lg, tmp + z[..., None], trans=True)[..., 0]
+                if ms.use_pallas and S <= 64:
+                    _, Lci, _ = chol_inv_masked(Sigi, lvl.rmask, True)
+                    tmp = jnp.einsum("bst,bt->bs", Lci, Smu)
+                    wu = jnp.einsum("bts,bt->bs", Lci, tmp + z)
+                else:
+                    Lg, _ = chol_masked(Sigi, lvl.rmask)
+                    tmp = tri_solve(Lg, Smu[..., None])
+                    wu = tri_solve(Lg, tmp + z[..., None], trans=True)[..., 0]
             else:
                 sig = data.prec + ti
                 smu = data.prec * hw_prior + resid
@@ -508,19 +532,31 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None):
                 lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outs
             )
 
-        # route the per-segment messages to their parent levels as one GEMM
-        # each: Sigi_x += Assign @ G, Smu_x += Assign @ v
+        # route the per-segment messages to their parent levels: dense
+        # assignment GEMM when the routing matrix is small enough, else a
+        # position scatter-add into the parent-level accumulator
         if P > 0:
             Gs, vs = outs
             for a in range(len(seg_off)):
                 tp = ms.seg_level[t][a]
-                A = ms.assign[(t, a)]  # (Bp, Bc)
-                add_S = jnp.einsum("pc,cij->pij", A, Gs[a])
-                add_m = A @ vs[a]
-                if tp in acc:
+                Bp, Sp = ms.levels[tp].rows.shape
+                if tp not in acc:
+                    acc[tp] = (
+                        jnp.zeros((Bp, Sp, Sp), dtype=ms.dtype),
+                        jnp.zeros((Bp, Sp), dtype=ms.dtype),
+                    )
+                if (t, a) in ms.assign:
+                    A = ms.assign[(t, a)]  # (Bp, Bc)
+                    add_S = jnp.einsum("pc,cij->pij", A, Gs[a])
+                    add_m = A @ vs[a]
                     acc[tp] = (acc[tp][0] + add_S, acc[tp][1] + add_m)
                 else:
-                    acc[tp] = (add_S, add_m)
+                    pvec = ms.anc_pos[(t, a)]  # (Bc,) sentinel Bp
+                    aS = jnp.zeros((Bp + 1, Sp, Sp), dtype=ms.dtype)
+                    aS = aS.at[pvec].add(Gs[a])
+                    am = jnp.zeros((Bp + 1, Sp), dtype=ms.dtype)
+                    am = am.at[pvec].add(vs[a])
+                    acc[tp] = (acc[tp][0] + aS[:Bp], acc[tp][1] + am[:Bp])
 
     return w
 

@@ -60,6 +60,7 @@ class MCMCConfig(NamedTuple):
     sample_predicts: bool = True
     chunk: int = 50  # kept samples per device->host transfer chunk
     burn_chunk: int = 100  # burn iterations per device call (bounds call time)
+    ram_reference_warmup: bool = False  # reproduce the reference's RAM warmup
 
 
 def init_state(
@@ -141,7 +142,8 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                 alpha = jnp.where(
                     ok & finite, jnp.minimum(1.0, jnp.exp(logaccept)), 0.0
                 )
-                ram = ram_adapt(ram, U, alpha, state.it)
+                ram = ram_adapt(ram, U, alpha, state.it,
+                                reference_warmup=cfg.ram_reference_warmup)
             ram = ram._replace(
                 propos_count=ram.propos_count + 1.0,
                 accept_count=ram.accept_count + accepted.astype(ms.dtype),

@@ -14,6 +14,56 @@ import numpy as np
 from spamtree_tpu.ops.covariance import CovModel, make_cov_model
 
 
+def auto_start_theta(dd: int, q: int, coords, y, mv_id, elevation: bool = False):
+    """Moment-based starting theta (improvement over the reference, which
+    starts every parameter at the bounds midpoint -- e.g. 500 with the
+    default toplim=1e3, costing thousands of adaptation iterations at q > 1;
+    R/spamtree_fit.R:138).
+
+    ai1_j ~ sqrt(0.8 var(y_j)), ai2_j ~ sqrt(0.2 var(y_j)), decay ranges from
+    the median pairwise distance of a coordinate subsample, unit latent
+    cross-distances.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    mv_id = np.asarray(mv_id)
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(y)
+    sub = np.random.default_rng(0).choice(n, size=min(n, 500), replace=False)
+    d = np.linalg.norm(
+        coords[sub, None, : min(coords.shape[1], 3)]
+        - coords[None, sub, : min(coords.shape[1], 3)],
+        axis=-1,
+    )
+    med = np.median(d[d > 0]) if (d > 0).any() else 1.0
+    decay = 3.0 / max(med, 1e-6)
+
+    var_q = np.array([
+        np.nanvar(y[mv_id == u]) if np.isfinite(y[mv_id == u]).any() else 1.0
+        for u in np.unique(mv_id)
+    ])
+    var_q = np.maximum(np.nan_to_num(var_q, nan=1.0), 1e-3)
+    if coords.shape[1] == 2 or elevation:
+        q_eff = len(var_q)
+        n_cbase = 3 if q_eff > 2 else 1
+        parts = [
+            np.sqrt(0.8 * var_q),  # ai1
+            np.sqrt(0.2 * var_q),  # ai2
+            np.full(q_eff, decay),  # phi_i
+        ]
+        if n_cbase == 3:
+            parts.append(np.array([1.0, 0.5, decay]))  # a_psi, beta_psi, c_phi
+        else:
+            parts.append(np.array([decay]))
+        if elevation:
+            parts.append(np.array([1.0]))
+        k = q_eff * (q_eff - 1) // 2
+        if k:
+            parts.append(np.ones(k))
+        return np.concatenate(parts)
+    else:
+        return np.concatenate([[float(var_q.mean())], np.full(coords.shape[1], decay)])
+
+
 @dataclass(frozen=True)
 class ThetaSpec:
     """Static description of the theta vector and its uniform support box."""
@@ -71,6 +121,7 @@ def make_theta_spec(
         if set_unif_bounds is not None:
             bounds = np.asarray(set_unif_bounds, dtype=np.float64)
         start = bounds.mean(axis=1) if start_theta is None else np.asarray(start_theta)
+        start = np.clip(start, bounds[:, 0] + 1e-6, bounds[:, 1] - 1e-6)
         return ThetaSpec(spec=spec, bounds=bounds, start=start)
     else:
         # multi-input nonspatial univariate (reference: R/spamtree_fit.R:141-157)

@@ -38,13 +38,37 @@ def ram_init(metropolis_sd: jax.Array) -> RAMState:
     )
 
 
-def ram_adapt(state: RAMState, U: jax.Array, alpha: jax.Array, mc: jax.Array) -> RAMState:
-    """One adaptation step (reference: mh_adapt.h:117-135).
+def ram_adapt(
+    state: RAMState, U: jax.Array, alpha: jax.Array, mc: jax.Array,
+    reference_warmup: bool = False,
+) -> RAMState:
+    """One adaptation step.
 
-    ``U`` is the standard-normal proposal direction, ``alpha`` the (capped)
-    acceptance probability, ``mc`` the 0-based iteration counter.
+    Default (``reference_warmup=False``): plain Vihola (2012) -- rank-1
+    coercion of the proposal factor from iteration 0, starting at the
+    user-provided scale.
+
+    ``reference_warmup=True`` reproduces the reference's variant
+    (mh_adapt.h:117-135): for the first g0=50 iterations accumulate
+    sum U U' / (mc+1) and *replace* the proposal factor with it at switch-on.
+    Since U is standard normal this inflates the proposal to ~ harmonic(g0)
+    * I regardless of the data -- kept only for parity experiments.
     """
     p = U.shape[0]
+
+    def rank1(paramsd, i):
+        eta = jnp.minimum(1.0, p * (i + 1.0) ** (-GAMMA))
+        a = jnp.minimum(1.0, alpha)
+        Sigma = jnp.eye(p, dtype=U.dtype) + eta * (a - ALPHA_STAR) * jnp.outer(
+            U, U
+        ) / jnp.sum(U * U)
+        S = paramsd @ Sigma @ paramsd.T
+        new_sd = jnp.linalg.cholesky(S)
+        ok = jnp.all(jnp.isfinite(new_sd))
+        return jnp.where(ok, new_sd, paramsd)
+
+    if not reference_warmup:
+        return state._replace(paramsd=rank1(state.paramsd, mc))
 
     def warmup(_):
         prod = state.prodparam + jnp.outer(U, U) / (mc + 1.0)
@@ -52,15 +76,7 @@ def ram_adapt(state: RAMState, U: jax.Array, alpha: jax.Array, mc: jax.Array) ->
 
     def adapt(_):
         paramsd = jnp.where(state.started, state.paramsd, state.prodparam)
-        i = mc - G0
-        eta = jnp.minimum(1.0, p * (i + 1.0) ** (-GAMMA))
-        a = jnp.minimum(1.0, alpha)
-        Sigma = jnp.eye(p, dtype=U.dtype) + eta * (a - ALPHA_STAR) * jnp.outer(U, U) / jnp.sum(U * U)
-        S = paramsd @ Sigma @ paramsd.T
-        new_sd = jnp.linalg.cholesky(S)
-        # keep the previous factor if the update went non-PD numerically
-        ok = jnp.all(jnp.isfinite(new_sd))
-        new_sd = jnp.where(ok, new_sd, paramsd)
+        new_sd = rank1(paramsd, mc - G0)
         return state._replace(paramsd=new_sd, started=jnp.array(True))
 
     return jax.lax.cond(mc < G0, warmup, adapt, None)

@@ -47,3 +47,22 @@ def tri_inv(L: jax.Array) -> jax.Array:
     """Explicit inverse of a batched lower-triangular factor."""
     eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
     return tri_solve(L, eye)
+
+
+def chol_inv_masked(mat: jax.Array, mask: jax.Array, use_pallas: bool = False):
+    """Fused Cholesky + triangular inverse of an identity-padded batch.
+
+    Returns (L, Linv, ok).  On TPU with S <= 64 dispatches to the
+    lane-parallel Pallas kernel (ops.pallas_chol); otherwise XLA primitives.
+    """
+    m = identity_pad(mat, mask)
+    if use_pallas:
+        from spamtree_tpu.ops.pallas_chol import chol_and_inv_lanes
+
+        L, Linv = chol_and_inv_lanes(m)
+    else:
+        L = jnp.linalg.cholesky(m)
+        Linv = tri_inv(L)
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    ok = jnp.all(jnp.isfinite(d) & (d > 0), axis=-1)
+    return L, Linv, ok

