@@ -48,6 +48,8 @@ def spamtree(
     seed=1,
     precompile=False,
     n_chains=1,
+    checkpoint_path=None,
+    sink_dir=None,
 ):
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     x = np.asarray(x, dtype=np.float64)
@@ -157,7 +159,8 @@ def spamtree(
     else:
         state = _mk_state(seed)
         res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
-                       precompile=precompile)
+                       precompile=precompile, checkpoint_path=checkpoint_path,
+                       sink_dir=sink_dir)
 
     out = {
         "coords": cs,

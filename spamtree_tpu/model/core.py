@@ -135,7 +135,20 @@ class ModelStatic:
         self.level_chunks = [_n_chunks(p) for p in sched.levels]
         self.pred_chunks = _n_chunks(sched.pred, 2) if sched.pred is not None else 1
 
-        def _conv(plan, n_chunks=1) -> LevelArrays:
+        # one bulk int32 transfer for all index arrays: the device link has
+        # high per-transfer overhead, so ~30 individual puts of up to 50MB
+        # each dominated setup at n ~ 1e6 (9 minutes); a single packed buffer
+        # + device-side slicing takes seconds.  Boolean masks are derived on
+        # device from the sentinel convention (row index == n).
+        _pack_bufs: list = []
+        _pack_meta: list = []
+
+        def _stage(a):
+            _pack_meta.append(a.shape)
+            _pack_bufs.append(np.ascontiguousarray(a, dtype=np.int32).ravel())
+            return len(_pack_bufs) - 1
+
+        def _conv_stage(plan, n_chunks=1):
             B = plan.rows.shape[0]
             mult = block_multiple * n_chunks
             pad = (-B) % mult  # whole dummy blocks for even sharding/chunking
@@ -147,27 +160,47 @@ class ModelStatic:
                 ext = np.full((pad,) + a.shape[1:], fill, dtype=a.dtype)
                 return np.concatenate([a, ext], axis=0)
 
-            rows = _padB(plan.rows, n)
-            prows = _padB(plan.prows, n)
-            return LevelArrays(
-                rows=jnp.asarray(rows, dtype=jnp.int32),
-                prows=jnp.asarray(prows, dtype=jnp.int32),
-                rmask=jnp.asarray(rows < n),
-                pmask=jnp.asarray(prows < n),
-                lp_pos=jnp.asarray(_padB(plan.lp_pos, 0), dtype=jnp.int32),
-                anc_blocks=jnp.asarray(_padB(plan.anc_blocks, nb), dtype=jnp.int32),
-                block_ids=jnp.asarray(_padB(plan.block_ids, nb), dtype=jnp.int32),
+            return dict(
+                rows=_stage(_padB(plan.rows, n)),
+                prows=_stage(_padB(plan.prows, n)),
+                lp_pos=_stage(_padB(plan.lp_pos, 0)),
+                anc_blocks=_stage(_padB(plan.anc_blocks, nb)),
+                block_ids=_stage(_padB(plan.block_ids, nb)),
             )
 
-        self.levels = [
-            _conv(p, nc) for p, nc in zip(sched.levels, self.level_chunks)
+        staged = [
+            _conv_stage(p, nc) for p, nc in zip(sched.levels, self.level_chunks)
         ]
+        staged_pred = (
+            _conv_stage(sched.pred, self.pred_chunks)
+            if sched.pred is not None
+            else None
+        )
+        packed = jnp.asarray(np.concatenate(_pack_bufs), dtype=jnp.int32)
+        offs = np.cumsum([0] + [b.size for b in _pack_bufs])
+
+        def _unpack(idx):
+            shape = _pack_meta[idx]
+            return packed[offs[idx] : offs[idx + 1]].reshape(shape)
+
+        def _build(stagedict) -> LevelArrays:
+            rows = _unpack(stagedict["rows"])
+            prows = _unpack(stagedict["prows"])
+            return LevelArrays(
+                rows=rows,
+                prows=prows,
+                rmask=rows < n,
+                pmask=prows < n,
+                lp_pos=_unpack(stagedict["lp_pos"]),
+                anc_blocks=_unpack(stagedict["anc_blocks"]),
+                block_ids=_unpack(stagedict["block_ids"]),
+            )
+
+        self.levels = [_build(s) for s in staged]
         self.level_is_ref = [p.is_ref for p in sched.levels]
         self.level_lp = [p.lp_level for p in sched.levels]
         self.level_segs = [(p.seg_off, p.seg_size) for p in sched.levels]
-        self.pred_arrays = (
-            _conv(sched.pred, self.pred_chunks) if sched.pred is not None else None
-        )
+        self.pred_arrays = _build(staged_pred) if staged_pred is not None else None
         # which sweep levels must emit a joint factor (used by a later level),
         # and the last level that consumes each factor (for HBM liveness:
         # joint factors at deep levels are the largest transients in the
@@ -191,14 +224,14 @@ class ModelStatic:
         # scatter-add (TPU scatters measured 25x slower than the equivalent
         # matmul).  Assign[(t', a)][p, c] = 1 iff child c's a-th ancestor is
         # parent block p.
-        level_of_block = {}
+        level_of_block = np.full(sched.n_blocks + 1, -1, dtype=np.int64)
         for t, p in enumerate(sched.levels):
-            for i, u in enumerate(p.block_ids):
-                level_of_block[int(u)] = t
+            level_of_block[np.asarray(p.block_ids)] = t
         self.seg_level = []  # per level: parent sweep-level of each segment
         self.assign = {}  # (t_child, a) -> (B_parent, B_child) 0/1 matrix
         self.anc_pos = {}  # (t_child, a) -> parent position in its level batch
         assign_bytes = 64e6  # above this, route via position-scatter instead
+        _assign_np = {}  # staged host-side, shipped in one packed transfer
         for t, lvlj in enumerate(self.levels):
             plan = sched.levels[t]
             segs = []
@@ -206,26 +239,34 @@ class ModelStatic:
             for a in range(len(plan.seg_off)):
                 anc_a = anc[:, a]
                 real = anc_a[anc_a < sched.n_blocks]
-                tp_set = {level_of_block[int(b)] for b in real}
+                tp_set = set(np.unique(level_of_block[real]).tolist())
                 assert len(tp_set) == 1, f"segment {a} of level {t}: {tp_set}"
                 tp = tp_set.pop()
                 segs.append(tp)
                 par_ids = sched.levels[tp].block_ids
-                pos = {int(u): i for i, u in enumerate(par_ids)}
                 Bc = anc_a.shape[0]
                 Bp = self.levels[tp].rows.shape[0]
-                pvec = np.full(Bc, Bp, dtype=np.int64)  # sentinel = Bp (dummy row)
-                for c in range(Bc):
-                    b = int(anc_a[c])
-                    if b in pos:
-                        pvec[c] = pos[b]
+                # vectorized block-id -> position-in-level lookup
+                pos_table = np.full(sched.n_blocks + 1, Bp, dtype=np.int64)
+                pos_table[np.asarray(par_ids)] = np.arange(len(par_ids))
+                pvec = pos_table[np.minimum(anc_a, sched.n_blocks)]
                 if Bp * Bc * 4 <= assign_bytes:
                     A = np.zeros((Bp + 1, Bc), dtype=np.float32)
                     A[pvec, np.arange(Bc)] = 1.0
-                    self.assign[(t, a)] = jnp.asarray(A[:Bp], dtype=dtype)
+                    _assign_np[(t, a)] = A[:Bp]
                 else:
                     self.anc_pos[(t, a)] = jnp.asarray(pvec, dtype=jnp.int32)
             self.seg_level.append(segs)
+        if _assign_np:
+            keys = list(_assign_np)
+            apacked = jnp.asarray(
+                np.concatenate([_assign_np[k].ravel() for k in keys]), dtype=dtype
+            )
+            aoff = np.cumsum([0] + [_assign_np[k].size for k in keys])
+            for i, k in enumerate(keys):
+                self.assign[k] = apacked[aoff[i] : aoff[i + 1]].reshape(
+                    _assign_np[k].shape
+                )
 
 
     # mv id per padded row index, sentinel -> margin 0 (always masked out)

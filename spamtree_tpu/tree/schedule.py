@@ -77,9 +77,16 @@ def _pad2(arrs: list[np.ndarray], width: int, fill) -> np.ndarray:
     return out
 
 
-def build_schedule(tree: TreeLevels, limited_tree: bool = False) -> Schedule:
+def build_schedule(
+    tree: TreeLevels, limited_tree: bool = False, validate: bool | None = None
+) -> Schedule:
     n = tree.n_rows
     nb = tree.n_blocks
+    if validate is None:
+        # the per-block layout asserts are O(n_blocks * n_anc * S) python
+        # loops; skip them at large scale (they are structural invariants
+        # fully exercised by the test suite at small n)
+        validate = nb <= 20000
 
     # group blocks by level, ascending; separate all-empty (prediction) levels
     levels_1b = sorted(set(int(v) for v in tree.block_level))
@@ -141,13 +148,16 @@ def build_schedule(tree: TreeLevels, limited_tree: bool = False) -> Schedule:
                 f"{len(seg_off)} layout segments"
             )
             # invariant: segment a of the layout == padded rows of ancestor a
-            for i, u in enumerate(ids):
-                for a, (o, s) in enumerate(zip(seg_off, seg_size)):
-                    seg = prows[i, o : o + s]
-                    rows_a = tree.block_rows[par_lists[i][a]]
-                    assert np.array_equal(seg[: len(rows_a)], rows_a) and np.all(
-                        seg[len(rows_a) :] == n
-                    ), f"block {u}: segment {a} layout mismatch"
+            if validate:
+                for i, u in enumerate(ids):
+                    for a, (o, s) in enumerate(zip(seg_off, seg_size)):
+                        seg = prows[i, o : o + s]
+                        rows_a = tree.block_rows[par_lists[i][a]]
+                        assert np.array_equal(
+                            seg[: len(rows_a)], rows_a
+                        ) and np.all(
+                            seg[len(rows_a) :] == n
+                        ), f"block {u}: segment {a} layout mismatch"
 
         plan = LevelPlan(
             res=res, is_ref=is_ref, block_ids=ids, rows=rows, prows=prows,
