@@ -31,8 +31,23 @@ if not _os.environ.get("SPAMTREE_NO_COMPILE_CACHE"):
         pass
 
 from spamtree_tpu.api import spamtree
+from spamtree_tpu.model.transforms import transf_back as par_huvtransf_back
+from spamtree_tpu.model.transforms import transf_fwd as par_huvtransf_fwd
 from spamtree_tpu.ops.covariance import cross_covariance_ag10 as CrossCovarianceAG10
-from spamtree_tpu.utils.summaries import list_mean, list_qtile
+from spamtree_tpu.ops.covariance import vec_to_symmat
+from spamtree_tpu.tree.partition import axis_bins, kthresholds, make_tree
+from spamtree_tpu.utils.summaries import (
+    find_nan,
+    find_not_nan,
+    list_cubes_mean,
+    list_mean,
+    list_qtile,
+)
 
-__all__ = ["spamtree", "CrossCovarianceAG10", "list_mean", "list_qtile"]
+__all__ = [
+    "spamtree", "CrossCovarianceAG10", "list_mean", "list_qtile",
+    "list_cubes_mean", "find_nan", "find_not_nan", "vec_to_symmat",
+    "par_huvtransf_fwd", "par_huvtransf_back", "kthresholds", "axis_bins",
+    "make_tree",
+]
 __version__ = "0.1.0"

@@ -217,6 +217,15 @@ class ModelStatic:
         if self.pred_lp >= 0:
             # the prediction operators are built after the level loop
             self.last_consumer[self.pred_lp] = len(sched.levels)
+        # carry the prediction operators only while they are small enough;
+        # above the threshold they are recomputed per kept iteration
+        if sched.pred is not None:
+            pH = sched.pred.rows.shape[0] * sched.pred.rows.shape[1] * (
+                sched.pred.prows.shape[1]
+            ) * itemsize
+            self.pred_in_carry = pH <= 256e6
+        else:
+            self.pred_in_carry = True
 
         # Gibbs-message routing as dense 0/1 assignment matrices: segment a of
         # child level t' targets parent level `seg_level[t'][a]`; the
@@ -412,34 +421,88 @@ def sweep(ms: ModelStatic, theta, w):
     # live.  The accept-swap then keeps them consistent with theta, making
     # per-iteration prediction a matmul + scaled draw (the reference instead
     # lazily rebuilds Kxx_inv at predict time; predict_std
-    # spamtree_model.cpp:1256-1296).
+    # spamtree_model.cpp:1256-1296).  At large n the operators don't fit the
+    # carry (pred_in_carry False) and are recomputed per kept iteration via
+    # predict_recompute instead.
     pred_data = None
-    if ms.pred_arrays is not None:
-        plvl = ms.pred_arrays
-        parent_joint = joints.get(ms.pred_lp)
-
-        def pred_body(carry, lvl):
-            cxr = ms.coords[lvl.rows]
-            mvr = ms.mv[lvl.rows]
-            cxp = ms.coords[lvl.prows]
-            mvp = ms.mv[lvl.prows]
-            Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
-            Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
-            LAi = parent_joint[lvl.lp_pos]
-            M = LAi @ Kxc
-            H = jnp.einsum("bps,bpq->bsq", M, LAi)
-            kdiag = jax.vmap(
-                lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
-            )(cxr, mvr)
-            r = kdiag - jnp.einsum("bsp,bps->bs", H, Kxc)
-            # chol-failure -> deterministic mean (reference: .cpp:1316-1322)
-            r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
-            return carry, (H, r)
-
-        _, (Hp, rp) = _run_level(plvl, ms.pred_chunks, None, pred_body)
-        pred_data = LevelData(H=Hp, prec=rp)  # prec slot holds variance r
+    if ms.pred_arrays is not None and ms.pred_in_carry:
+        pred_data = _pred_operators(ms, params, joints.get(ms.pred_lp))
 
     return tuple(leveldata), pred_data, logdet, ok
+
+
+def _pred_operators(ms: ModelStatic, params, parent_joint) -> LevelData:
+    """(H, r) conditional operators for the prediction blocks, given the
+    deepest-reference joint inverse-Cholesky factors."""
+    plvl = ms.pred_arrays
+
+    def pred_body(carry, lvl):
+        cxr = ms.coords[lvl.rows]
+        mvr = ms.mv[lvl.rows]
+        cxp = ms.coords[lvl.prows]
+        mvp = ms.mv[lvl.prows]
+        Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+        Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+        LAi = parent_joint[lvl.lp_pos]
+        M = LAi @ Kxc
+        H = jnp.einsum("bps,bpq->bsq", M, LAi)
+        kdiag = jax.vmap(
+            lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
+        )(cxr, mvr)
+        r = kdiag - jnp.einsum("bsp,bps->bs", H, Kxc)
+        # chol-failure -> deterministic mean (reference: .cpp:1316-1322)
+        r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
+        return carry, (H, r)
+
+    _, (Hp, rp) = _run_level(plvl, ms.pred_chunks, None, pred_body)
+    return LevelData(H=Hp, prec=rp)  # prec slot holds variance r
+
+
+def _joints_upto(ms: ModelStatic, params, upto: int):
+    """Lean re-propagation of the joint inverse-Cholesky factors through the
+    reference levels 0..upto (no H/prec/loglik outputs) -- used by
+    predict_recompute when the prediction operators are too big to carry."""
+    joints = {}
+    for t in range(upto + 1):
+        assert ms.level_is_ref[t], "prediction ancestors must be ref levels"
+        lvl_full = ms.levels[t]
+        P = lvl_full.prows.shape[1]
+        parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
+
+        def body(carry, lvl, P=P, parent_joint=parent_joint):
+            B, S = lvl.rows.shape
+            cxr = ms.coords[lvl.rows]
+            mvr = ms.mv[lvl.rows]
+            Kcc = _bcov(ms, params, cxr, mvr, cxr, mvr)
+            Rcc = identity_pad(Kcc, lvl.rmask)
+            if P > 0:
+                cxp = ms.coords[lvl.prows]
+                mvp = ms.mv[lvl.prows]
+                Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+                Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+                LAi = parent_joint[lvl.lp_pos]
+                M = LAi @ Kxc
+                Rcc = Rcc - jnp.einsum("bps,bpt->bst", M, M)
+            if ms.sched.limited_tree:
+                _, J, _ = chol_inv_masked(Kcc, lvl.rmask,
+                                          ms.use_pallas and S <= 64)
+                return carry, (J,)
+            _, Rinv, _ = chol_inv_masked(Rcc, lvl.rmask,
+                                         ms.use_pallas and S <= 64)
+            Q = P + S
+            J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
+            if P > 0:
+                H = jnp.einsum("bps,bpq->bsq", M, LAi)
+                J = J.at[:, :P, :P].set(LAi)
+                J = J.at[:, P:, :P].set(-jnp.einsum("bst,btp->bsp", Rinv, H))
+            J = J.at[:, P:, P:].set(Rinv)
+            return carry, (J,)
+
+        _, (J,) = _run_level(lvl_full, ms.level_chunks[t], None, body)
+        joints[t] = J
+        if ms.level_lp[t] >= 0:
+            joints.pop(ms.level_lp[t], None)
+    return joints[upto]
 
 
 def quad_loglik(ms: ModelStatic, leveldata, w):
@@ -616,6 +679,20 @@ def predict(ms: ModelStatic, pred_data, w, key):
     z = jax.random.normal(key, mean.shape, dtype=ms.dtype)
     wu = jnp.where(lvl.rmask, mean + jnp.sqrt(pred_data.prec) * z, 0.0)
     return w.at[lvl.rows].set(wu)
+
+
+def predict_recompute(ms: ModelStatic, theta, w, key):
+    """Prediction for the large-n regime (pred_in_carry False): re-propagate
+    the reference-level factors for the current theta and rebuild the
+    prediction operators on the spot, then draw.  Costs roughly half a
+    likelihood sweep per kept iteration but keeps the multi-GB operator
+    tensors out of the MCMC carry."""
+    if ms.pred_arrays is None:
+        return w
+    params = unpack_theta(theta.astype(ms.dtype), ms.spec)
+    parent_joint = _joints_upto(ms, params, ms.pred_lp)
+    pred_data = _pred_operators(ms, params, parent_joint)
+    return predict(ms, pred_data, w, key)
 
 
 def prior_sample_w(ms: ModelStatic, leveldata, key):

@@ -24,6 +24,7 @@ from spamtree_tpu.model.core import (
     gibbs_tausq,
     gibbs_w,
     predict,
+    predict_recompute,
     quad_loglik,
     sweep,
 )
@@ -150,7 +151,10 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             )
 
         if predicting and cfg.sample_predicts and cfg.sample_w:
-            w = predict(ms, pred_data, w, kp)
+            if ms.pred_in_carry:
+                w = predict(ms, pred_data, w, kp)
+            else:
+                w = predict_recompute(ms, theta, w, kp)
 
         tausq_inv = state.tausq_inv
         if cfg.sample_tausq:

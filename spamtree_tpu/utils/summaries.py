@@ -33,3 +33,19 @@ def list_cubes_mean(x, cslice):
     if cslice >= arr.shape[-1]:
         raise ValueError("Selected resolution does not exist.")
     return arr[..., cslice].mean(axis=0)
+
+
+def find_nan(x):
+    """Row indices with any non-finite entry (reference: src/find_nan.cpp)."""
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    return np.flatnonzero(~np.isfinite(x).all(axis=1))
+
+
+def find_not_nan(x):
+    """Row indices with all entries finite (reference: src/find_nan.cpp)."""
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    return np.flatnonzero(np.isfinite(x).all(axis=1))

@@ -175,6 +175,23 @@ def test_chunked_levels_match_unchunked():
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-10)
 
 
+def test_predict_recompute_matches_carry():
+    """Large-n prediction path (operators rebuilt per kept iteration) must
+    equal the carried-operator path exactly."""
+    from spamtree_tpu.model.core import predict, predict_recompute
+
+    ms, tree, sched, tspec, coords, mv, y, na = _setup(n=260, miss=0.15)
+    assert sched.pred is not None
+    theta = jnp.asarray(tspec.start)
+    rngk = jax.random.PRNGKey(7)
+    w = jnp.asarray(np.append(np.random.default_rng(0).normal(size=ms.n), 0.0))
+    leveldata, pd, logdet, ok = sweep(ms, theta, w)
+    assert bool(ok) and pd is not None
+    w1 = predict(ms, pd, w, rngk)
+    w2 = predict_recompute(ms, theta, w, rngk)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-9)
+
+
 def test_gibbs_w_targets_exact_posterior():
     ms, tree, sched, tspec, coords, mv, y, na = _setup(n=150, tree_depth=2, cell=9)
     theta = jnp.asarray(tspec.start)
