@@ -88,7 +88,11 @@ CONFIGS = {
             keep=300, burn=500, thin=2, kwargs=dict(mvbias=1.0)),
     5: dict(name="climate_n1e6", maker=lambda: make_multivariate(
                 500000, 2, imbalance=(0.8, 0.2)),
-            keep=200, burn=300, thin=1, kwargs={}),
+            # climate scale uses the limited (single-parent) tree -- the
+            # reference's intended big-n mode; the full-ancestry DAG at depth
+            # 9 carries (B, 200, 200) joint factors that exceed single-chip
+            # HBM at this n
+            keep=200, burn=300, thin=1, kwargs=dict(limited_tree=True)),
 }
 
 

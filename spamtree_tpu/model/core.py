@@ -675,24 +675,47 @@ def predict(ms: ModelStatic, pred_data, w, key):
     if ms.pred_arrays is None or pred_data is None:
         return w
     lvl = ms.pred_arrays
+    bigz = jax.random.normal(key, (ms.n + 1,), dtype=ms.dtype)
     mean = jnp.einsum("bsp,bp->bs", pred_data.H, w[lvl.prows])
-    z = jax.random.normal(key, mean.shape, dtype=ms.dtype)
-    wu = jnp.where(lvl.rmask, mean + jnp.sqrt(pred_data.prec) * z, 0.0)
+    wu = jnp.where(
+        lvl.rmask, mean + jnp.sqrt(pred_data.prec) * bigz[lvl.rows], 0.0
+    )
     return w.at[lvl.rows].set(wu)
 
 
 def predict_recompute(ms: ModelStatic, theta, w, key):
     """Prediction for the large-n regime (pred_in_carry False): re-propagate
     the reference-level factors for the current theta and rebuild the
-    prediction operators on the spot, then draw.  Costs roughly half a
-    likelihood sweep per kept iteration but keeps the multi-GB operator
-    tensors out of the MCMC carry."""
+    prediction operators chunk-by-chunk with the draw fused in (the full
+    operator tensors never materialize).  Costs roughly half a likelihood
+    sweep per kept iteration but keeps multi-GB tensors out of the carry."""
     if ms.pred_arrays is None:
         return w
     params = unpack_theta(theta.astype(ms.dtype), ms.spec)
     parent_joint = _joints_upto(ms, params, ms.pred_lp)
-    pred_data = _pred_operators(ms, params, parent_joint)
-    return predict(ms, pred_data, w, key)
+    bigz = jax.random.normal(key, (ms.n + 1,), dtype=ms.dtype)
+
+    def body(w, lvl):
+        cxr = ms.coords[lvl.rows]
+        mvr = ms.mv[lvl.rows]
+        cxp = ms.coords[lvl.prows]
+        mvp = ms.mv[lvl.prows]
+        Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+        Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+        LAi = parent_joint[lvl.lp_pos]
+        M = LAi @ Kxc
+        H = jnp.einsum("bps,bpq->bsq", M, LAi)
+        kdiag = jax.vmap(
+            lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
+        )(cxr, mvr)
+        r = kdiag - jnp.einsum("bsp,bps->bs", H, Kxc)
+        r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
+        mean = jnp.einsum("bsp,bp->bs", H, w[lvl.prows])
+        wu = jnp.where(lvl.rmask, mean + jnp.sqrt(r) * bigz[lvl.rows], 0.0)
+        return w.at[lvl.rows].set(wu), None
+
+    w, _ = _run_level(ms.pred_arrays, ms.pred_chunks, w, body)
+    return w
 
 
 def prior_sample_w(ms: ModelStatic, leveldata, key):
