@@ -10,10 +10,15 @@ benchmark ladder from BASELINE.json is available via --config 1..5:
   4  imbalanced multivariate q=3, misaligned per-outcome locations
   5  climate-scale n~1e6, bivariate (satellite+station style imbalance)
 
-``vs_baseline`` divides iters/sec by an estimated 10-thread CPU reference
-throughput for the same n (the reference package publishes no numbers; the
-estimate extrapolates the CRAN <5s bound -- see BASELINE.md -- until the R
-package can be timed directly on matched hardware).
+The reference package publishes NO benchmark numbers and R is not installed
+here, so no measured CPU baseline exists (BASELINE.md).  ``vs_baseline`` is
+therefore an explicitly-labeled CONSERVATIVE estimate: iters/sec divided by an
+ideal-10-thread-scaling extrapolation of the CRAN runtime bound (n=225, 600
+iters in <5 s on ONE thread => >=120 it/s; O(n) per-iteration cost).  The
+optimistic end of the range (1-thread extrapolation) is reported separately as
+``vs_cpu_1thread_est``; the truth is somewhere in [vs_baseline,
+vs_cpu_1thread_est].  ``tflops_per_sec`` uses XLA's own flop count for the
+compiled sampling chunk.
 """
 
 import argparse
@@ -124,11 +129,19 @@ def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
     mo = miss[order]
     rmspe = float(np.sqrt(np.mean((y_post[mo] - y_full[order][mo]) ** 2)))
     sd = float(np.nanstd(y_full))
+    tflops = 0.0
+    if out.get("flops_per_kept_sample"):
+        # total ~ kept samples * per-sample flops (burn iterations do the
+        # same sweeps minus prediction; approximating them at the same cost
+        # slightly OVERSTATES time per flop, i.e. understates tflops)
+        total_flops = out["flops_per_kept_sample"] * (keep + burn / max(thin, 1))
+        tflops = total_flops / out["mcmc_time"] / 1e12
     return dict(
         config=c["name"], n=int(len(y)), iters=iters,
         ips=ips, rmspe=rmspe, sd_y=sd,
         accept=out["accept_ratio"], mcmc_time=out["mcmc_time"],
         setup_time=time.time() - t_setup - out["mcmc_time"],
+        tflops_per_sec=tflops,
     )
 
 
@@ -155,19 +168,27 @@ def main():
                    thin=args.thin, cell_size=args.cell_size,
                    n_chains=args.n_chains)
 
-    # 10-thread CPU reference estimate (see module docstring / BASELINE.md)
-    cpu_ref_ips = 0.27 * (1e5 / r["n"])
+    # No measured CPU baseline exists (reference publishes none; R absent
+    # here).  Extrapolate the CRAN bound: >=120 it/s at n=225 on 1 thread,
+    # O(n) per-iteration cost.  vs_baseline = conservative (ideal 10-thread
+    # scaling assumed for the CPU); vs_cpu_1thread_est = optimistic end.
+    cpu_1t_ips = 120.0 * (225.0 / r["n"])
     print(json.dumps({
         "metric": f"mcmc_iters_per_sec_{r['config']}",
         "value": round(r["ips"], 3),
         "unit": "iters/sec",
-        "vs_baseline": round(r["ips"] / cpu_ref_ips, 3),
+        "vs_baseline": round(r["ips"] / (10.0 * cpu_1t_ips), 3),
+        "baseline_note": "estimated ideal-10-thread CPU extrapolation of the "
+                         "CRAN <5s bound; no measured reference baseline",
+        "vs_cpu_1thread_est": round(r["ips"] / cpu_1t_ips, 3),
         "rmspe": round(r["rmspe"], 4),
         "sd_y": round(r["sd_y"], 3),
         "n": r["n"],
         "iters": r["iters"],
         "accept": round(r["accept"], 3),
         "mcmc_time_s": round(r["mcmc_time"], 2),
+        "setup_time_s": round(r["setup_time"], 2),
+        "tflops_per_sec": round(r["tflops_per_sec"], 4),
     }))
 
 

@@ -71,20 +71,10 @@ int64_t st_group_by_key(const int64_t* keys, int64_t n, int64_t* order,
   return g;
 }
 
-// ---- value remapping with zero for unknowns (number_revalue equivalent) ----
-void st_number_revalue(int64_t* vals, int64_t n, const int64_t* from,
-                       const int64_t* to, int64_t nmap, int64_t maxval) {
-  // from is sorted ascending; binary-search each value
-#ifdef _OPENMP
-#pragma omp parallel for
-#endif
-  for (int64_t i = 0; i < n; i++) {
-    const int64_t* p = std::lower_bound(from, from + nmap, vals[i]);
-    int64_t v = 0;
-    if (p != from + nmap && *p == vals[i]) v = to[p - from];
-    vals[i] = v > maxval ? 0 : v;
-  }
-}
+// NOTE: the reference's number_revalue (tree_dep.cpp:240-259) has no
+// equivalent here by design: block ids are constructed contiguously by the
+// partitioner and remapped with O(1) NumPy lookup tables in the schedule
+// builder, so a per-element binary-search remap kernel would be slower.
 
 // ---- asynchronous sample sink ----------------------------------------------
 // Double-buffered writer thread appending fixed-size records to a file.

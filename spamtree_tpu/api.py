@@ -10,6 +10,14 @@ Fixes applied deliberately relative to the reference (SURVEY.md §7):
 ``prior$beta`` / ``prior$tausq`` are honored (the reference computed them but
 hardcoded Vi=.01I and a=2.01; spamtree_fit.R:160-170 vs spamtree_model.cpp:157,
 1401), and ``starting$w`` is honored (ignored upstream, spamtree_fit.R:264).
+``prior["theta"]`` enables informative covariance-parameter priors (the
+reference computes calc_prior_logratio but never adds it to the MH ratio;
+spamtree_fit.cpp:239-246 -- pass None, the default, for parity).
+
+Deliberately dropped: the reference's tied-coordinate grouping ``gix_block``
+(spamtree_fit.R:271-279) is computed there but effectively unused in the live
+C++ path (each location is its own group in practice), so this rebuild indexes
+locations directly and does not reproduce it.
 """
 
 from __future__ import annotations
@@ -65,10 +73,11 @@ def spamtree(
     mv0 = np.searchsorted(uniq, mv_id)  # 0-based margin ids
 
     mcmc = dict(keep=1000, burn=0, thin=1) | (mcmc or {})
-    settings = dict(adapting=True, mcmcsd=None) | (settings or {})
+    settings = dict(adapting=True, mcmcsd=None, curvature_sd=True,
+                    ram_reference_warmup=False) | (settings or {})
     prior = dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
-        beta=None, tausq=None,
+        beta=None, tausq=None, theta=None,
     ) | (prior or {})
     starting = dict(beta=None, tausq=None, theta=None, w=None) | (starting or {})
     debug = dict(
@@ -120,12 +129,31 @@ def spamtree(
 
     ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=dtype)
     if settings["mcmcsd"] is None:
-        # scale-aware initial proposal sd: the theta posterior contracts like
-        # 1/sqrt(n), so the reference's fixed 0.01 logit-scale proposals are
-        # orders of magnitude too wide at large n and the RAM adapter spends
-        # most of the chain shrinking them
-        nt = tspec.n_theta
-        settings["mcmcsd"] = min(0.01, 1.0 / (nt * np.sqrt(max(na_which.sum(), 1))))
+        if settings["curvature_sd"] and debug["sample_theta"]:
+            # per-dimension curvature-scaled initial proposal covariance: the
+            # rank-1 RAM adapter is slow to learn per-dimension scales in
+            # high-dim theta (15 dims at q=3), which froze round-1 chains at
+            # 2-4% acceptance; a finite-difference Fisher diagonal at theta0
+            # costs ~2*nt sweeps and starts RAM at the right metric
+            from spamtree_tpu.model.tuning import curvature_proposal_sd
+
+            settings["mcmcsd"] = curvature_proposal_sd(
+                ms, tspec.bounds, tspec.start,
+                start_tausq=(0.1 if starting["tausq"] is None
+                             else float(starting["tausq"])),
+                seed=seed,
+            )
+            if verbose:
+                d = np.sqrt(np.diag(settings["mcmcsd"]))
+                print(f"[tune] curvature proposal sd: {np.array2string(d, precision=4)}")
+        else:
+            # scale-aware isotropic fallback: the theta posterior contracts
+            # like 1/sqrt(n), so the reference's fixed 0.01 logit-scale
+            # proposals are orders of magnitude too wide at large n
+            nt = tspec.n_theta
+            settings["mcmcsd"] = min(
+                0.01, 1.0 / (nt * np.sqrt(max(na_which.sum(), 1)))
+            )
     beta_Vi = 0.01 if prior["beta"] is None else prior["beta"]
     tausq_ab = (2.01, 1.0) if prior["tausq"] is None else tuple(prior["tausq"])
     cfg = MCMCConfig(
@@ -135,6 +163,8 @@ def spamtree(
         sample_beta=debug["sample_beta"], sample_tausq=debug["sample_tausq"],
         sample_theta=debug["sample_theta"], sample_w=debug["sample_w"],
         sample_predicts=debug["sample_predicts"],
+        ram_reference_warmup=settings["ram_reference_warmup"],
+        theta_prior=prior["theta"],
     )
     start_w = starting["w"]
     if start_w is not None:
@@ -155,7 +185,10 @@ def spamtree(
 
         sts = [_mk_state(seed + c) for c in range(n_chains)]
         states = jax.tree.map(lambda *a: jnp.stack(a), *sts)
-        res = run_mcmc_chains(ms, tspec.bounds, cfg, states, verbose=verbose)
+        res = run_mcmc_chains(ms, tspec.bounds, cfg, states, verbose=verbose,
+                              precompile=precompile,
+                              checkpoint_path=checkpoint_path,
+                              sink_dir=sink_dir)
     else:
         state = _mk_state(seed)
         res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,

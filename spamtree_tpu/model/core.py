@@ -315,17 +315,28 @@ def _run_level(lvl: LevelArrays, nc: int, carry, body):
     return carry, outs
 
 
-def sweep(ms: ModelStatic, theta, w):
+def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
+          quad_prev: tuple | None = None):
     """Full root->leaf likelihood sweep for a theta value.
 
-    Returns (leveldata tuple, logdetCi scalar, ok flag).  The propagated
-    identity-padded joint inverse-Cholesky factors replace the reference's
-    ``invchol_block_inplace_direct`` nested-ancestor update
+    Returns (leveldata tuple, pred_data, logdetCi scalar, ok flag), the
+    propagated identity-padded joint inverse-Cholesky factors replacing the
+    reference's ``invchol_block_inplace_direct`` nested-ancestor update
     (spamtree_model.cpp:900-907).
+
+    With ``quad_prev=prev_leveldata``, additionally returns
+    ``(quad_new, quad_cur)``: the -0.5 w'Ci w quadratic forms under the NEW
+    factors and under ``prev_leveldata``, fused into the level loop.  The
+    reference gets wcore for free inside its sweep (spamtree_model.cpp:
+    912-914); fusing both here removes two standalone ``quad_loglik`` passes
+    per iteration that would otherwise re-read every (B,S,P)/(B,S,S) factor
+    tensor from HBM.
     """
     params = unpack_theta(theta.astype(ms.dtype), ms.spec)
     leveldata = []
     logdet = jnp.zeros((), dtype=ms.dtype)
+    qn = jnp.zeros((), dtype=ms.dtype)
+    qc = jnp.zeros((), dtype=ms.dtype)
     ok = jnp.array(True)
     joints = {}
 
@@ -334,13 +345,18 @@ def sweep(ms: ModelStatic, theta, w):
         is_ref = ms.level_is_ref[t]
         emit_joint = is_ref and ms.serves_as_parent[t]
         parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
+        prev_t = quad_prev[t] if quad_prev is not None else None
 
-        def level_body(carry, lvl, P=P, is_ref=is_ref, emit_joint=emit_joint,
+        def level_body(carry, args, P=P, is_ref=is_ref, emit_joint=emit_joint,
                        parent_joint=parent_joint):
-            logdet, ok = carry
+            logdet, ok, qn, qc = carry
+            lvl, prev = args
             B, S = lvl.rows.shape
             cxr = ms.coords[lvl.rows]
             mvr = ms.mv[lvl.rows]
+            if quad_prev is not None:
+                w_r = w[lvl.rows]  # (B, S)
+                wpar = w[lvl.prows] if P > 0 else None
             if P > 0:
                 cxp = ms.coords[lvl.prows]
                 mvp = ms.mv[lvl.prows]
@@ -366,6 +382,14 @@ def sweep(ms: ModelStatic, theta, w):
                     jnp.log(jnp.diagonal(Rinv, axis1=-2, axis2=-1))
                 )
                 ok = ok & jnp.all(okl)
+                if quad_prev is not None:
+                    wx = w_r - (jnp.einsum("bsp,bp->bs", H, wpar)
+                                if P > 0 else 0.0)
+                    v = jnp.einsum("bst,bt->bs", Rinv, wx)
+                    qn = qn - 0.5 * jnp.sum(v * v)
+                    wxc = w_r - (jnp.einsum("bsp,bp->bs", prev.H, wpar)
+                                 if P > 0 else 0.0)
+                    qc = qc - 0.5 * jnp.einsum("bs,bst,bt->", wxc, prev.prec, wxc)
                 J = None
                 if emit_joint:
                     if ms.sched.limited_tree:
@@ -387,7 +411,7 @@ def sweep(ms: ModelStatic, theta, w):
                             )
                         J = J.at[:, P:, P:].set(Rinv)
                 outs = (H, prec, J) if emit_joint else (H, prec)
-                return (logdet, ok), outs
+                return (logdet, ok, qn, qc), outs
             else:
                 kdiag = jax.vmap(
                     lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
@@ -400,11 +424,35 @@ def sweep(ms: ModelStatic, theta, w):
                 logdet = logdet + (-0.5) * jnp.sum(
                     jnp.where(lvl.rmask, jnp.log(r), 0.0)
                 )
-                return (logdet, ok), (H, 1.0 / r)
+                if quad_prev is not None:
+                    wx = w_r - (jnp.einsum("bsp,bp->bs", H, wpar)
+                                if P > 0 else 0.0)
+                    qn = qn - 0.5 * jnp.sum(wx * wx / r)
+                    wxc = w_r - (jnp.einsum("bsp,bp->bs", prev.H, wpar)
+                                 if P > 0 else 0.0)
+                    qc = qc - 0.5 * jnp.sum(prev.prec * wxc * wxc)
+                return (logdet, ok, qn, qc), (H, 1.0 / r)
 
-        (logdet, ok), outs = _run_level(
-            lvl_full, ms.level_chunks[t], (logdet, ok), level_body
-        )
+        nc = ms.level_chunks[t]
+        if prev_t is None:
+            # dummy second xs element so chunked scans have a uniform shape
+            prev_arg = LevelData(H=lvl_full.lp_pos, prec=lvl_full.lp_pos)
+        else:
+            prev_arg = prev_t
+        if nc == 1:
+            (logdet, ok, qn, qc), outs = level_body(
+                (logdet, ok, qn, qc), (lvl_full, prev_arg)
+            )
+        else:
+            prev_c = LevelData(
+                *[a.reshape(nc, a.shape[0] // nc, *a.shape[1:]) for a in prev_arg]
+            )
+            (logdet, ok, qn, qc), outs = jax.lax.scan(
+                level_body, (logdet, ok, qn, qc), (_chunked(lvl_full, nc), prev_c)
+            )
+            outs = jax.tree.map(
+                lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outs
+            )
         if emit_joint:
             H, prec, J = outs
             joints[t] = J
@@ -425,9 +473,11 @@ def sweep(ms: ModelStatic, theta, w):
     # carry (pred_in_carry False) and are recomputed per kept iteration via
     # predict_recompute instead.
     pred_data = None
-    if ms.pred_arrays is not None and ms.pred_in_carry:
+    if ms.pred_arrays is not None and ms.pred_in_carry and build_pred:
         pred_data = _pred_operators(ms, params, joints.get(ms.pred_lp))
 
+    if quad_prev is not None:
+        return tuple(leveldata), pred_data, logdet, ok, qn, qc
     return tuple(leveldata), pred_data, logdet, ok
 
 

@@ -62,6 +62,10 @@ class MCMCConfig(NamedTuple):
     chunk: int = 50  # kept samples per device->host transfer chunk
     burn_chunk: int = 100  # burn iterations per device call (bounds call time)
     ram_reference_warmup: bool = False  # reproduce the reference's RAM warmup
+    # informative theta prior: callable logp(theta) or per-dim spec list (see
+    # model/priors.py).  None = flat, the reference's effective behavior (it
+    # computes calc_prior_logratio but never adds it; spamtree_fit.cpp:239-246)
+    theta_prior: object = None
 
 
 def init_state(
@@ -88,9 +92,22 @@ def init_state(
     if sd.ndim < 2:
         sd = np.eye(nt) * float(sd)
     ram = ram_init(jnp.asarray(sd, dtype=ms.dtype))
+    b = np.asarray(bounds, dtype=np.float64)
+    st = np.asarray(start_theta, dtype=np.float64)
+    if np.any(st <= b[:, 0]) or np.any(st >= b[:, 1]):
+        raise ValueError(
+            f"starting theta outside its bounds: theta={st}, bounds={b.tolist()}"
+        )
     leveldata, pred_data, logdet, ok = jax.jit(
         lambda th, ww: sweep(ms, th, ww)
     )(theta, w)
+    if not bool(ok):
+        # mirror load_state: a start that fails Cholesky would otherwise
+        # produce an all-NaN chain without tripping the finite-theta guard
+        raise RuntimeError(
+            "starting theta fails Cholesky in the initial likelihood sweep; "
+            "choose a different starting value or widen the bounds"
+        )
     return MCMCState(
         key=jax.random.PRNGKey(seed),
         w=w, beta=beta, tausq_inv=tausq_inv, XB=XB, theta=theta,
@@ -107,6 +124,9 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
         bvi = float(bvi) * np.eye(ms.p)
     Vi = jnp.asarray(bvi, dtype=ms.dtype)
     Vim = jnp.zeros((ms.p,), dtype=ms.dtype)
+    from spamtree_tpu.model.priors import make_theta_prior
+
+    prior_fn = make_theta_prior(cfg.theta_prior)
 
     def step(state: MCMCState, key, predicting: bool) -> MCMCState:
         kw, kt, ku, kp, kq, kb = jax.random.split(key, 6)
@@ -116,16 +136,23 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
 
         if cfg.sample_w:
             w = gibbs_w(ms, leveldata, w, state.tausq_inv, state.XB, kw)
-        cur_ll = logdetCi + quad_loglik(ms, leveldata, w)
 
         if cfg.sample_theta:
             U = jax.random.normal(kt, (theta.shape[0],), dtype=ms.dtype)
             prop = transf_back(transf_fwd(theta, bnds) + ram.paramsd @ U, bnds)
             prop, _ = clamp_bounds(prop, bnds)
-            new_ld, new_pd, new_logdet, ok = sweep(ms, prop, w)
-            new_ll = new_logdet + quad_loglik(ms, new_ld, w)
+            # both quadratic forms (proposal and current factors) are fused
+            # into the proposal sweep's level loop -- no standalone
+            # quad_loglik passes over the stored factors
+            new_ld, new_pd, new_logdet, ok, q_new, q_cur = sweep(
+                ms, prop, w, quad_prev=leveldata
+            )
+            cur_ll = logdetCi + q_cur
+            new_ll = new_logdet + q_new
             jac = calc_jacobian(prop, theta, bnds)
             logaccept = new_ll - cur_ll + jac
+            if prior_fn is not None:
+                logaccept = logaccept + prior_fn(prop) - prior_fn(theta)
             finite = jnp.isfinite(logaccept)
             acceptp = jnp.where(finite, jnp.exp(jnp.minimum(logaccept, 0.0)), 0.0)
             u = jax.random.uniform(ku, dtype=ms.dtype)
@@ -236,9 +263,45 @@ def run_mcmc(
     else:
         keep_compiled = None
 
+    def _chunk_flops(ex):
+        """XLA's own flop count for one compiled keep chunk (m0 kept samples
+        x thin transitions each) -- used for honest MFU reporting."""
+        try:
+            ca = ex.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    keep_chunk_flops = _chunk_flops(keep_compiled) if keep_compiled else 0.0
+
     t0 = time.time()
     key = state.key
     burned = 0
+    # rolling acceptance over the window since the last report, next to the
+    # cumulative rate (reference: RAMAdapt::print/print_summary,
+    # mh_adapt.h:137-148, printed from spamtree_fit.cpp:334-372)
+    prev_acc, prev_prop, prev_t, prev_it = 0.0, 0.0, t0, 0
+
+    def _report(phase, done, total, state, iters_done):
+        nonlocal prev_acc, prev_prop, prev_t, prev_it
+        jax.block_until_ready(state.w)
+        acc, prop = float(state.ram.accept_count), float(state.ram.propos_count)
+        cum = acc / max(prop, 1.0)
+        roll = (acc - prev_acc) / max(prop - prev_prop, 1.0)
+        now = time.time()
+        ms_it = 1e3 * (now - prev_t) / max(iters_done - prev_it, 1)
+        print(
+            f"[{phase}] {done}/{total}, {now - t0:.2f}s, {ms_it:.1f}ms/iter, "
+            f"accept {roll:.2%} (window) {cum:.2%} (cumulative)"
+        )
+        if int(verbose) >= 2:  # printall equivalent (spamtree_fit.cpp:344-350)
+            th = np.asarray(state.theta)
+            ts = 1.0 / np.asarray(state.tausq_inv)
+            print(f"  theta = {np.array2string(th, precision=4)}")
+            print(f"  tausq = {np.array2string(ts, precision=5)}")
+        prev_acc, prev_prop, prev_t, prev_it = acc, prop, now, iters_done
+
     while burned < cfg.burn:
         b = min(bc, cfg.burn - burned)
         key, sub = jax.random.split(key)
@@ -250,10 +313,7 @@ def run_mcmc(
 
             save_state(checkpoint_path, state._replace(key=key))
         if verbose:
-            jax.block_until_ready(state.w)
-            ar = float(state.ram.accept_count) / max(float(state.ram.propos_count), 1)
-            print(f"[burn] {burned}/{cfg.burn} iters, {time.time()-t0:.2f}s, "
-                  f"accept {ar:.2%}")
+            _report("burn", burned, cfg.burn, state, burned)
     state = state._replace(key=key)
 
     # with a sink, the big row-indexed draws (w, yhat) stream to disk on the
@@ -298,11 +358,8 @@ def run_mcmc(
 
                 save_state(checkpoint_path, state)
             if verbose:
-                ar = float(state.ram.accept_count) / max(float(state.ram.propos_count), 1)
-                print(
-                    f"[keep] {kept}/{cfg.keep} samples, {time.time()-t0:.2f}s, "
-                    f"accept {ar:.2%}"
-                )
+                _report("keep", kept, cfg.keep, state,
+                        cfg.burn + kept * cfg.thin)
     except KeyboardInterrupt:
         print("MCMC interrupted; returning partial results.")
 
@@ -317,6 +374,8 @@ def run_mcmc(
     res["accept_ratio"] = float(state.ram.accept_count) / max(
         float(state.ram.propos_count), 1
     )
+    if keep_chunk_flops:
+        res["flops_per_kept_sample"] = keep_chunk_flops / min(cfg.chunk, cfg.keep)
     res["state"] = state
     return res
 
@@ -328,12 +387,20 @@ def run_mcmc_chains(
     states: MCMCState,  # stacked pytree with leading chain axis C
     verbose: bool = False,
     mesh=None,
+    precompile: bool = False,
+    checkpoint_path: str | None = None,
+    sink_dir: str | None = None,
 ):
-    """Run C independent chains in one program via vmap.
+    """Run C independent chains in one program via vmap -- the multi-chain
+    analog of ``run_mcmc`` with the same engineering: chunked burn (bounded
+    device-call length), AOT precompile, checkpointing, sample sinks.
 
-    With a device mesh, chains shard over the ``chains`` axis (pure data
-    parallelism).  Outputs carry a chain axis after the sample axis:
-    w/yhat (keep, C, n), beta (keep, C, p, q), etc.
+    Per-chain randomness derives from each chain's own ``state.key`` (set the
+    chain seeds in ``init_state``), so chains are independent streams and the
+    user seed matters.  With a device mesh, chains shard over the ``chains``
+    axis (pure data parallelism the reference cannot do; its driver loop is
+    one chain, spamtree_fit.cpp:167-391).  Outputs carry a chain axis after
+    the sample axis: w/yhat (keep, C, n), beta (keep, C, p, q), etc.
     """
     n = ms.n
     step = make_step(ms, bounds, cfg)
@@ -341,8 +408,22 @@ def run_mcmc_chains(
     vstep_p = jax.vmap(lambda s, k: step(s, k, True))
     C = int(np.asarray(states.theta).shape[0])
 
+    if mesh is not None:
+        from spamtree_tpu.parallel.sharding import chain_sharded
+
+        states = chain_sharded(mesh, states)
+
+    def _shard_keys(keys):
+        if mesh is None:
+            return keys
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # keys have the chain axis second-to-last: (..., C, 2)
+        spec = P(*([None] * (keys.ndim - 2) + ["chains", None]))
+        return jax.device_put(keys, NamedSharding(mesh, spec))
+
     @jax.jit
-    def burn_scan(s, keys):  # keys (burn, C, 2)
+    def burn_scan(s, keys):  # keys (b, C, 2)
         return jax.lax.scan(lambda st, k: (vstep_b(st, k), None), s, keys)[0]
 
     def keep_body(s, keys):  # keys (thin+1, C, 2)
@@ -360,34 +441,118 @@ def run_mcmc_chains(
     def keep_scan(s, keys):
         return jax.lax.scan(keep_body, s, keys)
 
+    # per-chain key streams: split each chain's carried key into (next key,
+    # m iteration keys) -- the user's per-chain seeds drive everything
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def _next_keys_burn(chainkeys, m):  # (C, 2) -> (C, 2), (m, C, 2)
+        ks = jax.vmap(lambda k: jax.random.split(k, m + 1))(chainkeys)
+        return ks[:, 0], jnp.moveaxis(ks[:, 1:], 0, 1)
+
+    @partial(jax.jit, static_argnums=1)
+    def _next_keys_keep(chainkeys, m):  # -> (C, 2), (m, thin+1, C, 2)
+        ks = jax.vmap(
+            lambda k: jax.random.split(k, m * (cfg.thin + 1) + 1)
+        )(chainkeys)
+        it = ks[:, 1:].reshape(C, m, cfg.thin + 1, 2)
+        return ks[:, 0], jnp.moveaxis(it, 0, 2)
+
+    bc = min(cfg.burn_chunk, cfg.burn) if cfg.burn > 0 else 0
+    burn_fn, keep_compiled = burn_scan, None
+    if precompile:
+        t_c = time.time()
+        ck = jnp.asarray(np.asarray(states.key))
+        if bc > 0:
+            _, dk = _next_keys_burn(ck, bc)
+            burn_fn = burn_scan.lower(states, _shard_keys(dk)).compile()
+        m0 = min(cfg.chunk, cfg.keep)
+        _, dk2 = _next_keys_keep(ck, m0)
+        keep_compiled = keep_scan.lower(states, _shard_keys(dk2)).compile()
+        if verbose:
+            print(f"[compile] {time.time()-t_c:.1f}s")
+
+    def _save(states, chainkeys):
+        if checkpoint_path:
+            from spamtree_tpu.utils.checkpoint import save_state
+
+            save_state(checkpoint_path, states._replace(key=chainkeys))
+
     t0 = time.time()
-    key = jax.random.PRNGKey(1234)
-    if cfg.burn > 0:
-        key, sub = jax.random.split(key)
-        bkeys = jax.random.split(sub, cfg.burn * C).reshape(cfg.burn, C, 2)
-        states = burn_scan(states, bkeys)
+    chainkeys = states.key
+    burned = 0
+    while burned < cfg.burn:
+        b = min(bc, cfg.burn - burned)
+        chainkeys, bkeys = _next_keys_burn(chainkeys, b)
+        states = (burn_fn if b == bc else burn_scan)(states, _shard_keys(bkeys))
+        burned += b
+        _save(states, chainkeys)
+        if verbose:
+            jax.block_until_ready(states.w)
+            acc = float(np.sum(np.asarray(states.ram.accept_count)))
+            prop = float(np.sum(np.asarray(states.ram.propos_count)))
+            print(f"[burn] {burned}/{cfg.burn} x {C} chains, "
+                  f"{time.time()-t0:.2f}s, accept {acc/max(prop,1):.2%}")
+    states = states._replace(key=chainkeys)
+
+    sinks = None
+    if sink_dir is not None:
+        import os
+
+        from spamtree_tpu.utils.native import SampleSink
+
+        os.makedirs(sink_dir, exist_ok=True)
+        sinks = {k: SampleSink(os.path.join(sink_dir, f"{k}_mcmc.f32"))
+                 for k in ("w", "yhat")}
 
     outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
     kept = 0
-    while kept < cfg.keep:
-        m = min(cfg.chunk, cfg.keep - kept)
-        key, sub = jax.random.split(key)
-        ckeys = jax.random.split(sub, m * (cfg.thin + 1) * C).reshape(
-            m, cfg.thin + 1, C, 2
-        )
-        states, (w_s, yhat_s, beta_s, tausq_s, theta_s) = keep_scan(states, ckeys)
-        for nm, v in zip(("w", "yhat", "beta", "tausq", "theta"),
-                         (w_s, yhat_s, beta_s, tausq_s, theta_s)):
-            outs[nm].append(np.asarray(v))
-        kept += m
-        if verbose:
-            print(f"[keep] {kept}/{cfg.keep} x {C} chains, {time.time()-t0:.2f}s")
+    try:
+        while kept < cfg.keep:
+            m = min(cfg.chunk, cfg.keep - kept)
+            chainkeys, ckeys = _next_keys_keep(chainkeys, m)
+            fn = (keep_compiled
+                  if keep_compiled is not None and m == min(cfg.chunk, cfg.keep)
+                  else keep_scan)
+            states, (w_s, yhat_s, beta_s, tausq_s, theta_s) = fn(
+                states, _shard_keys(ckeys)
+            )
+            states = states._replace(key=chainkeys)
+            if sinks is not None:
+                sinks["w"].push(np.asarray(w_s, dtype=np.float32))
+                sinks["yhat"].push(np.asarray(yhat_s, dtype=np.float32))
+            else:
+                outs["w"].append(np.asarray(w_s))
+                outs["yhat"].append(np.asarray(yhat_s))
+            outs["beta"].append(np.asarray(beta_s))
+            outs["tausq"].append(np.asarray(tausq_s))
+            outs["theta"].append(np.asarray(theta_s))
+            kept += m
+            if not np.isfinite(np.asarray(theta_s)).all():
+                raise FloatingPointError(
+                    "non-finite theta in chain; aborting (NaN loglik guard)"
+                )
+            _save(states, chainkeys)
+            if verbose:
+                print(f"[keep] {kept}/{cfg.keep} x {C} chains, "
+                      f"{time.time()-t0:.2f}s")
+    except KeyboardInterrupt:
+        print("MCMC interrupted; returning partial results.")
 
-    res = {k: np.concatenate(v) for k, v in outs.items()}
+    if sinks is not None:
+        for sk in sinks.values():
+            sk.close()
+    res = {k: (np.concatenate(v) if v else np.zeros((0,))) for k, v in outs.items()}
+    if sinks is not None:
+        res["sink_files"] = {k: sk.path for k, sk in sinks.items()}
     res["mcmc_time"] = time.time() - t0
     res["paramsd"] = np.asarray(states.ram.paramsd)
     res["accept_ratio"] = float(np.sum(np.asarray(states.ram.accept_count))) / max(
         float(np.sum(np.asarray(states.ram.propos_count))), 1
+    )
+    res["accept_by_chain"] = (
+        np.asarray(states.ram.accept_count)
+        / np.maximum(np.asarray(states.ram.propos_count), 1)
     )
     res["state"] = states
     return res

@@ -29,9 +29,15 @@ def transf_back(par, bounds):
 
 
 def clamp_bounds(par, bounds):
-    """Clamp to the open box; returns (clamped, was_out_of_bounds)."""
-    lo = bounds[:, 0] + 1e-10
-    hi = bounds[:, 1] - 1e-10
+    """Clamp to the open box; returns (clamped, was_out_of_bounds).
+
+    The margin is dtype-aware: the reference's absolute 1e-10 (mh_adapt.h:
+    188-202) underflows in float32 at toplim ~ 1e3, leaving saturated
+    proposals exactly on the bound where the jacobian is +/-inf."""
+    eps = jnp.finfo(par.dtype).eps
+    margin = jnp.maximum(8.0 * eps * (bounds[:, 1] - bounds[:, 0]), 1e-10)
+    lo = bounds[:, 0] + margin
+    hi = bounds[:, 1] - margin
     out = jnp.any((par < bounds[:, 0]) | (par > bounds[:, 1]))
     return jnp.clip(par, lo, hi), out
 

@@ -56,6 +56,17 @@ def combined_cell_id(bins: np.ndarray, strides: np.ndarray) -> np.ndarray:
     return bins @ strides
 
 
+def _group_rows(keys: np.ndarray):
+    """(order, starts): stable grouping by ascending key.
+
+    Native C++ stable_sort when available (the R reference does this with
+    group_by/split, make_tree.R; at n ~ 1e6 the host grouping passes are a
+    real setup cost)."""
+    from spamtree_tpu.utils import native
+
+    return native.group_by_key(np.asarray(keys, dtype=np.int64))
+
+
 @dataclass
 class TreeLevels:
     """Partition output: flat per-row assignment plus per-block structure."""
@@ -166,12 +177,12 @@ def make_tree(
         lev_cells.append(ckey_all)
 
         knot_keys = ckey_all[knots_local]
-        uniq_keys, inv = np.unique(knot_keys, return_inverse=True)
+        order2, starts = _group_rows(knot_keys)
+        uniq_keys = knot_keys[order2[starts[:-1]]]
         c2b = {int(k): max_block_number + j for j, k in enumerate(uniq_keys)}
         cell2block.append(c2b)
-        order2 = np.argsort(inv, kind="stable")
-        splits = np.searchsorted(inv[order2], np.arange(1, len(uniq_keys)))
-        for j, grp in enumerate(np.split(knots_local[order2], splits)):
+        for j in range(len(uniq_keys)):
+            grp = knots_local[order2[starts[j] : starts[j + 1]]]
             rows_j = avail[grp]
             block_rows.append(rows_j)
             block_level_list.append(res)
@@ -242,10 +253,10 @@ def make_tree(
         )
         host = _host_blocks_for(coords[left_rows], mv_id[left_rows], deepest_rows)
         res_left = max_branch_res + 1
-        uniq_hosts, inv = np.unique(host, return_inverse=True)
-        order2 = np.argsort(inv, kind="stable")
-        splits = np.searchsorted(inv[order2], np.arange(1, len(uniq_hosts)))
-        for j, rows_j in enumerate(np.split(left_rows[order2], splits)):
+        order2, starts = _group_rows(host)
+        uniq_hosts = host[order2[starts[:-1]]]
+        for j in range(len(uniq_hosts)):
+            rows_j = left_rows[order2[starts[j] : starts[j + 1]]]
             u = max_block_number + j
             block_rows.append(rows_j)
             block_level_list.append(res_left)
@@ -270,10 +281,10 @@ def make_tree(
         )
         host = _host_blocks_for(coords[missing], mv_id[missing], deepest_rows)
         res_miss = (max_branch_res + 2) if has_leftover else (max_branch_res + 1)
-        uniq_hosts, inv = np.unique(host, return_inverse=True)
-        order2 = np.argsort(inv, kind="stable")
-        splits = np.searchsorted(inv[order2], np.arange(1, len(uniq_hosts)))
-        for j, rows_j in enumerate(np.split(missing[order2], splits)):
+        order2, starts = _group_rows(host)
+        uniq_hosts = host[order2[starts[:-1]]]
+        for j in range(len(uniq_hosts)):
+            rows_j = missing[order2[starts[j] : starts[j + 1]]]
             u = max_block_number + j
             block_rows.append(rows_j)
             block_level_list.append(res_miss)

@@ -39,14 +39,18 @@ def save_state(path: str, state: MCMCState) -> None:
 
 
 def load_state(path: str, ms: ModelStatic) -> MCMCState:
+    """Load a single-chain or stacked multi-chain (leading C axis) state."""
     z = np.load(path)
     dt = ms.dtype
     theta = jnp.asarray(z["theta"], dtype=dt)
     w = jnp.asarray(z["w"], dtype=dt)
-    leveldata, pred_data, logdet, ok = jax.jit(
-        lambda t, ww: sweep(ms, t, ww)
-    )(theta, w)
-    if not bool(ok):
+    stacked = theta.ndim == 2
+    sweep_fn = jax.jit(
+        jax.vmap(lambda t, ww: sweep(ms, t, ww)) if stacked
+        else (lambda t, ww: sweep(ms, t, ww))
+    )
+    leveldata, pred_data, logdet, ok = sweep_fn(theta, w)
+    if not bool(jnp.all(ok)):
         raise RuntimeError("checkpointed theta fails Cholesky on rebuild")
     ram = RAMState(
         paramsd=jnp.asarray(z["ram_paramsd"], dtype=dt),

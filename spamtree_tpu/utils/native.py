@@ -44,7 +44,6 @@ def _load():
     lib.st_column_threshold.argtypes = [dp, i64, dp, i64, ip]
     lib.st_group_by_key.restype = i64
     lib.st_group_by_key.argtypes = [ip, i64, ip, ip]
-    lib.st_number_revalue.argtypes = [ip, i64, ip, ip, i64, i64]
     lib.st_sink_open.restype = ctypes.c_void_p
     lib.st_sink_open.argtypes = [ctypes.c_char_p, i64]
     lib.st_sink_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, i64]

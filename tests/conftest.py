@@ -7,6 +7,14 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# XLA:CPU AOT cache entries are host-CPU-feature specific; a shared cache dir
+# reused across machines can SIGILL.  Key the test cache by host name.
+import platform  # noqa: E402
+
+os.environ.setdefault(
+    "SPAMTREE_COMPILE_CACHE",
+    os.path.expanduser(f"~/.cache/spamtree_tpu_xla_cpu_{platform.node()}"),
+)
 
 import jax  # noqa: E402
 
