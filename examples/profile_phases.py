@@ -38,8 +38,7 @@ def main(n_per_q=50000, cell_size=25):
     res = time_phases(ms, st, iters=10)
     for k, v in res.items():
         print(f"{k:24s} {v:9.2f} ms")
-    per_iter = (res["sweep(theta-loglik)"] + 2 * res["quad_loglik"]
-                + res["gibbs_w"] + res["gibbs_tausq"] + res["gibbs_beta"])
+    per_iter = res["total_per_iter"]
     print(f"-> ~{per_iter:.1f} ms/iter (+{res['predict']:.1f} on kept) "
           f"= {1000/per_iter:.2f} iters/sec")
 

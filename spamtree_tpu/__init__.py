@@ -37,17 +37,19 @@ from spamtree_tpu.ops.covariance import cross_covariance_ag10 as CrossCovariance
 from spamtree_tpu.ops.covariance import vec_to_symmat
 from spamtree_tpu.tree.partition import axis_bins, kthresholds, make_tree
 from spamtree_tpu.utils.summaries import (
+    ess,
     find_nan,
     find_not_nan,
     list_cubes_mean,
     list_mean,
     list_qtile,
+    rhat,
 )
 
 __all__ = [
     "spamtree", "CrossCovarianceAG10", "list_mean", "list_qtile",
     "list_cubes_mean", "find_nan", "find_not_nan", "vec_to_symmat",
     "par_huvtransf_fwd", "par_huvtransf_back", "kthresholds", "axis_bins",
-    "make_tree",
+    "make_tree", "rhat", "ess",
 ]
 __version__ = "0.1.0"

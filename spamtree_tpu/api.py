@@ -59,6 +59,50 @@ def spamtree(
     checkpoint_path=None,
     sink_dir=None,
 ):
+    """Fit a SpamTree model: fit + prediction in one MCMC run.
+
+    Mirrors the reference front-end (reference: R/spamtree_fit.R:1-21,
+    man/spamtree.Rd), with the same knob semantics:
+
+    y : (n,) response; NaN rows are predicted (their latent w and yhat are
+        sampled at kept iterations, reference predict_std).
+    x : (n, p) covariates.
+    coords : (n, dd) spatial coordinates (dd = 2 typical; any dd works).
+    mv_id : (n,) outcome/margin ids for multivariate data (any label set;
+        q = number of distinct labels).  None = univariate.
+    cell_size : target locations per tree block (reference axis_cell_size ^ dd).
+    K : per-axis branching factor of the recursive partition.
+    start_level, tree_depth, last_not_reference, limited_tree : tree shape
+        knobs (reference make_tree.R); limited_tree keeps only the deepest
+        reference ancestor as parent (1-parent recursive tree, the big-n mode).
+    cherrypick_same_margin, cherrypick_group_locations, mvbias : knot
+        selection details for misaligned multivariate sampling designs.
+    mcmc : dict(keep=, burn=, thin=).
+    settings : dict(adapting=, mcmcsd=, curvature_sd=, ram_reference_warmup=).
+        mcmcsd None (default) uses a curvature-scaled initial proposal
+        covariance (finite-difference Fisher diagonal at theta0); pass a
+        scalar/matrix to override, or curvature_sd=False for the isotropic
+        scale-aware fallback.
+    prior : dict(btmlim=, toplim=, vlim=, set_unif_bounds=, beta=, tausq=,
+        theta=).  beta is the Normal prior precision (scalar s -> s*I or a
+        (p,p) matrix); tausq is the inverse-Gamma (a, b); theta enables an
+        informative covariance-parameter prior (per-dim spec list or callable,
+        see model/priors.py) -- all three are honored here, unlike the
+        reference which computes and drops them.
+    starting : dict(beta=, tausq=, theta=, w=) warm starts (all honored).
+    debug : dict(sample_beta=, sample_tausq=, sample_theta=, sample_w=,
+        sample_predicts=) per-sampler ablation switches.
+    dtype : device dtype (float32 production, float64 for parity checks).
+    precompile : AOT-compile the scan programs before timing mcmc_time.
+    n_chains : >1 vmaps independent chains (per-chain RNG; outputs gain a
+        chain axis after the sample axis).
+    checkpoint_path / sink_dir : full-state checkpoint file; directory for
+        streaming w/yhat draws to disk instead of host RAM (n ~ 1e6).
+
+    Returns a dict with w_mcmc, yhat_mcmc, beta_mcmc, tausq_mcmc, theta_mcmc,
+    paramsd, mcmc_time, accept_ratio, coordsinfo and the order mapping
+    (outputs are in sorted-row order; out["order"][i] is the original row).
+    """
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     x = np.asarray(x, dtype=np.float64)
     if x.ndim == 1:
@@ -217,6 +261,7 @@ def spamtree(
         "paramsd": res["paramsd"],
         "mcmc_time": res["mcmc_time"],
         "accept_ratio": res["accept_ratio"],
+        "flops_per_kept_sample": res.get("flops_per_kept_sample"),
         "block_ct_obs": tree.block_ct_obs,
         "tree": tree,
         "schedule": sched,

@@ -80,7 +80,8 @@ class ModelStatic:
         use_pallas: bool | None = None,
     ):
         n = sched.n
-        self.sched = sched
+        self.sched = sched  # host-side only; excluded from the jit pytree
+        self.limited_tree = sched.limited_tree
         self.spec = spec
         self.dtype = dtype
         if use_pallas is None:
@@ -133,7 +134,8 @@ class ModelStatic:
             return int(np.ceil(big / chunk_bytes))
 
         self.level_chunks = [_n_chunks(p) for p in sched.levels]
-        self.pred_chunks = _n_chunks(sched.pred, 2) if sched.pred is not None else 1
+        pred_buckets = sched.pred_buckets or []
+        self.pred_chunks = [_n_chunks(p, 2) for p in pred_buckets]
 
         # one bulk int32 transfer for all index arrays: the device link has
         # high per-transfer overhead, so ~30 individual puts of up to 50MB
@@ -171,11 +173,9 @@ class ModelStatic:
         staged = [
             _conv_stage(p, nc) for p, nc in zip(sched.levels, self.level_chunks)
         ]
-        staged_pred = (
-            _conv_stage(sched.pred, self.pred_chunks)
-            if sched.pred is not None
-            else None
-        )
+        staged_pred = [
+            _conv_stage(p, nc) for p, nc in zip(pred_buckets, self.pred_chunks)
+        ]
         packed = jnp.asarray(np.concatenate(_pack_bufs), dtype=jnp.int32)
         offs = np.cumsum([0] + [b.size for b in _pack_bufs])
 
@@ -200,13 +200,13 @@ class ModelStatic:
         self.level_is_ref = [p.is_ref for p in sched.levels]
         self.level_lp = [p.lp_level for p in sched.levels]
         self.level_segs = [(p.seg_off, p.seg_size) for p in sched.levels]
-        self.pred_arrays = _build(staged_pred) if staged_pred is not None else None
+        self.pred_arrays = [_build(s) for s in staged_pred] or None
         # which sweep levels must emit a joint factor (used by a later level),
         # and the last level that consumes each factor (for HBM liveness:
         # joint factors at deep levels are the largest transients in the
         # sweep, so they are dropped as soon as their last consumer ran)
         used = {p.lp_level for p in sched.levels if p.lp_level >= 0}
-        self.pred_lp = sched.pred.lp_level if sched.pred is not None else -1
+        self.pred_lp = pred_buckets[0].lp_level if pred_buckets else -1
         if self.pred_lp >= 0:
             used.add(self.pred_lp)
         self.serves_as_parent = [t in used for t in range(len(sched.levels))]
@@ -219,9 +219,10 @@ class ModelStatic:
             self.last_consumer[self.pred_lp] = len(sched.levels)
         # carry the prediction operators only while they are small enough;
         # above the threshold they are recomputed per kept iteration
-        if sched.pred is not None:
-            pH = sched.pred.rows.shape[0] * sched.pred.rows.shape[1] * (
-                sched.pred.prows.shape[1]
+        if pred_buckets:
+            pH = sum(
+                p.rows.shape[0] * p.rows.shape[1] * p.prows.shape[1]
+                for p in pred_buckets
             ) * itemsize
             self.pred_in_carry = pH <= 256e6
         else:
@@ -283,6 +284,66 @@ class ModelStatic:
         """(n+1,) per-row noise precision; sentinel slot = 0."""
         t = tausq_inv[self.mv]
         return t.at[self.n].set(0.0)
+
+
+# ModelStatic is a registered pytree so the samplers take it as a jit
+# ARGUMENT instead of a closure.  Closed-over device arrays are inlined into
+# the lowered StableHLO as literal constants, which makes module size O(n)
+# (64 MB of IR at n=1e5, ~600 MB at n=1e6 -- blowing both compile time and
+# the remote-compile transport); as pytree leaves they become ordinary XLA
+# parameters and the program is O(levels).
+_MS_ARRAY_FIELDS = (
+    "levels", "pred_arrays", "coords", "mv", "y", "X", "obs_mask",
+    "mv_onehot_obs", "mv_onehot", "XtX", "n_obs_by_q",
+)
+_MS_STATIC_FIELDS = (
+    "spec", "dtype", "use_pallas", "n", "p", "q", "limited_tree",
+    "level_chunks", "pred_chunks", "level_is_ref", "level_lp", "level_segs",
+    "pred_lp", "serves_as_parent", "last_consumer", "seg_level",
+    "pred_in_carry",
+)
+
+
+def _freeze(v):
+    if isinstance(v, tuple) and hasattr(v, "_fields"):  # NamedTuple (CovModel)
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    return v
+
+
+def _ms_flatten(ms: "ModelStatic"):
+    arrays = [getattr(ms, f) for f in _MS_ARRAY_FIELDS]
+    arrays.append(dict(ms.assign))
+    arrays.append(dict(ms.anc_pos))
+    static = tuple(_freeze(getattr(ms, f)) for f in _MS_STATIC_FIELDS)
+    return arrays, static
+
+
+def _ms_unflatten(static, arrays):
+    ms = object.__new__(ModelStatic)
+    ms.sched = None  # host-side metadata is not carried through jit
+    for f, v in zip(_MS_ARRAY_FIELDS, arrays[: len(_MS_ARRAY_FIELDS)]):
+        setattr(ms, f, v)
+    ms.assign = arrays[len(_MS_ARRAY_FIELDS)]
+    ms.anc_pos = arrays[len(_MS_ARRAY_FIELDS) + 1]
+    for f, v in zip(_MS_STATIC_FIELDS, static):
+        if f in ("level_chunks", "pred_chunks", "level_is_ref", "level_lp",
+                 "serves_as_parent"):
+            v = list(v)
+        elif f == "level_segs":
+            v = [(list(a), list(b)) for a, b in v]
+        elif f == "seg_level":
+            v = [list(x) for x in v]
+        elif f == "last_consumer":
+            v = dict(v)
+        setattr(ms, f, v)
+    return ms
+
+
+jax.tree_util.register_pytree_node(ModelStatic, _ms_flatten, _ms_unflatten)
 
 
 def _bcov(ms: ModelStatic, params, cx1, mv1, cx2, mv2):
@@ -392,7 +453,7 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                     qc = qc - 0.5 * jnp.einsum("bs,bst,bt->", wxc, prev.prec, wxc)
                 J = None
                 if emit_joint:
-                    if ms.sched.limited_tree:
+                    if ms.limited_tree:
                         # limited tree: children condition on this block's
                         # rows alone -> factor is inv-chol of the raw Kcc
                         # (reference: spamtree_model.cpp:901-903)
@@ -481,10 +542,9 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
     return tuple(leveldata), pred_data, logdet, ok
 
 
-def _pred_operators(ms: ModelStatic, params, parent_joint) -> LevelData:
-    """(H, r) conditional operators for the prediction blocks, given the
-    deepest-reference joint inverse-Cholesky factors."""
-    plvl = ms.pred_arrays
+def _pred_operators(ms: ModelStatic, params, parent_joint) -> tuple:
+    """Per-bucket (H, r) conditional operators for the prediction blocks,
+    given the deepest-reference joint inverse-Cholesky factors."""
 
     def pred_body(carry, lvl):
         cxr = ms.coords[lvl.rows]
@@ -504,8 +564,11 @@ def _pred_operators(ms: ModelStatic, params, parent_joint) -> LevelData:
         r = jnp.where(jnp.isfinite(r) & (r > 0), r, 0.0)
         return carry, (H, r)
 
-    _, (Hp, rp) = _run_level(plvl, ms.pred_chunks, None, pred_body)
-    return LevelData(H=Hp, prec=rp)  # prec slot holds variance r
+    out = []
+    for plvl, nc in zip(ms.pred_arrays, ms.pred_chunks):
+        _, (Hp, rp) = _run_level(plvl, nc, None, pred_body)
+        out.append(LevelData(H=Hp, prec=rp))  # prec slot holds variance r
+    return tuple(out)
 
 
 def _joints_upto(ms: ModelStatic, params, upto: int):
@@ -533,7 +596,7 @@ def _joints_upto(ms: ModelStatic, params, upto: int):
                 LAi = parent_joint[lvl.lp_pos]
                 M = LAi @ Kxc
                 Rcc = Rcc - jnp.einsum("bps,bpt->bst", M, M)
-            if ms.sched.limited_tree:
+            if ms.limited_tree:
                 _, J, _ = chol_inv_masked(Kcc, lvl.rmask,
                                           ms.use_pallas and S <= 64)
                 return carry, (J,)
@@ -724,13 +787,14 @@ def predict(ms: ModelStatic, pred_data, w, key):
     just w = H w_par + sqrt(r) z per prediction block."""
     if ms.pred_arrays is None or pred_data is None:
         return w
-    lvl = ms.pred_arrays
     bigz = jax.random.normal(key, (ms.n + 1,), dtype=ms.dtype)
-    mean = jnp.einsum("bsp,bp->bs", pred_data.H, w[lvl.prows])
-    wu = jnp.where(
-        lvl.rmask, mean + jnp.sqrt(pred_data.prec) * bigz[lvl.rows], 0.0
-    )
-    return w.at[lvl.rows].set(wu)
+    for lvl, pd in zip(ms.pred_arrays, pred_data):
+        mean = jnp.einsum("bsp,bp->bs", pd.H, w[lvl.prows])
+        wu = jnp.where(
+            lvl.rmask, mean + jnp.sqrt(pd.prec) * bigz[lvl.rows], 0.0
+        )
+        w = w.at[lvl.rows].set(wu)
+    return w
 
 
 def predict_recompute(ms: ModelStatic, theta, w, key):
@@ -764,7 +828,8 @@ def predict_recompute(ms: ModelStatic, theta, w, key):
         wu = jnp.where(lvl.rmask, mean + jnp.sqrt(r) * bigz[lvl.rows], 0.0)
         return w.at[lvl.rows].set(wu), None
 
-    w, _ = _run_level(ms.pred_arrays, ms.pred_chunks, w, body)
+    for plvl, nc in zip(ms.pred_arrays, ms.pred_chunks):
+        w, _ = _run_level(plvl, nc, w, body)
     return w
 
 

@@ -12,6 +12,7 @@ stream to host in chunks so n ~ 10^6 runs never hold the full chain on device.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -99,8 +100,8 @@ def init_state(
             f"starting theta outside its bounds: theta={st}, bounds={b.tolist()}"
         )
     leveldata, pred_data, logdet, ok = jax.jit(
-        lambda th, ww: sweep(ms, th, ww)
-    )(theta, w)
+        lambda m, th, ww: sweep(m, th, ww)
+    )(ms, theta, w)
     if not bool(ok):
         # mirror load_state: a start that fails Cholesky would otherwise
         # produce an all-NaN chain without tripping the finite-theta guard
@@ -219,27 +220,30 @@ def run_mcmc(
     utils.checkpoint.load_state).
     """
     n = ms.n
-    step = make_step(ms, bounds, cfg)
 
-    def burn_body(s, key):
-        return step(s, key, False), None
+    # ms rides through jit as a pytree ARGUMENT (not a closure): closed-over
+    # arrays are inlined into the lowered module as literal constants, making
+    # program size O(n).  The carry (leveldata factors dominate: ~GBs at
+    # n=1e6) is donated so the old state's buffers are reused in place.
+    @partial(jax.jit, donate_argnums=1)
+    def burn_scan(m, s, keys):
+        st = make_step(m, bounds, cfg)
+        return jax.lax.scan(lambda ss, k: (st(ss, k, False), None), s, keys)[0]
 
-    @jax.jit
-    def burn_scan(s, keys):
-        return jax.lax.scan(burn_body, s, keys)[0]
+    @partial(jax.jit, donate_argnums=1)
+    def keep_scan(m, s, keys):
+        st = make_step(m, bounds, cfg)
 
-    def keep_body(s, keys):
-        for i in range(cfg.thin - 1):
-            s = step(s, keys[i], False)
-        s = step(s, keys[cfg.thin - 1], True)
-        tl = ms.tausq_long(s.tausq_inv)[:n]
-        znoise = jax.random.normal(keys[cfg.thin], (n,), dtype=ms.dtype)
-        yhat = s.XB[:n] + s.w[:n] + znoise / jnp.sqrt(jnp.maximum(tl, 1e-30))
-        out = (s.w[:n], yhat, s.beta, 1.0 / s.tausq_inv, s.theta)
-        return s, out
+        def keep_body(s, keys):
+            for i in range(cfg.thin - 1):
+                s = st(s, keys[i], False)
+            s = st(s, keys[cfg.thin - 1], True)
+            tl = m.tausq_long(s.tausq_inv)[:n]
+            znoise = jax.random.normal(keys[cfg.thin], (n,), dtype=m.dtype)
+            yhat = s.XB[:n] + s.w[:n] + znoise / jnp.sqrt(jnp.maximum(tl, 1e-30))
+            out = (s.w[:n], yhat, s.beta, 1.0 / s.tausq_inv, s.theta)
+            return s, out
 
-    @jax.jit
-    def keep_scan(s, keys):
         return jax.lax.scan(keep_body, s, keys)
 
     # burn runs in bounded-length device calls: keeps single XLA executions
@@ -252,12 +256,12 @@ def run_mcmc(
         t_c = time.time()
         if bc > 0:
             dk = jax.random.split(jax.random.PRNGKey(0), bc)
-            burn_fn = burn_scan.lower(state, dk).compile()
+            burn_fn = burn_scan.lower(ms, state, dk).compile()
         m0 = min(cfg.chunk, cfg.keep)
         dk2 = jax.random.split(jax.random.PRNGKey(0), m0 * (cfg.thin + 1)).reshape(
             m0, cfg.thin + 1, 2
         )
-        keep_compiled = keep_scan.lower(state, dk2).compile()
+        keep_compiled = keep_scan.lower(ms, state, dk2).compile()
         if verbose:
             print(f"[compile] {time.time()-t_c:.1f}s")
     else:
@@ -306,7 +310,7 @@ def run_mcmc(
         b = min(bc, cfg.burn - burned)
         key, sub = jax.random.split(key)
         bkeys = jax.random.split(sub, b)
-        state = (burn_fn if b == bc else burn_scan)(state, bkeys)
+        state = (burn_fn if b == bc else burn_scan)(ms, state, bkeys)
         burned += b
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
@@ -336,7 +340,7 @@ def run_mcmc(
             key, sub = jax.random.split(key)
             ckeys = jax.random.split(sub, m * (cfg.thin + 1)).reshape(m, cfg.thin + 1, 2)
             fn = keep_compiled if (keep_compiled is not None and m == min(cfg.chunk, cfg.keep)) else keep_scan
-            state, (w_s, yhat_s, beta_s, tausq_s, theta_s) = fn(state, ckeys)
+            state, (w_s, yhat_s, beta_s, tausq_s, theta_s) = fn(ms, state, ckeys)
             state = state._replace(key=key)
             if sinks is not None:
                 sinks["w"].push(np.asarray(w_s, dtype=np.float32))
@@ -403,9 +407,6 @@ def run_mcmc_chains(
     the sample axis: w/yhat (keep, C, n), beta (keep, C, p, q), etc.
     """
     n = ms.n
-    step = make_step(ms, bounds, cfg)
-    vstep_b = jax.vmap(lambda s, k: step(s, k, False))
-    vstep_p = jax.vmap(lambda s, k: step(s, k, True))
     C = int(np.asarray(states.theta).shape[0])
 
     if mesh is not None:
@@ -422,29 +423,33 @@ def run_mcmc_chains(
         spec = P(*([None] * (keys.ndim - 2) + ["chains", None]))
         return jax.device_put(keys, NamedSharding(mesh, spec))
 
-    @jax.jit
-    def burn_scan(s, keys):  # keys (b, C, 2)
-        return jax.lax.scan(lambda st, k: (vstep_b(st, k), None), s, keys)[0]
+    @partial(jax.jit, donate_argnums=1)
+    def burn_scan(m, s, keys):  # keys (b, C, 2)
+        st = make_step(m, bounds, cfg)
+        vstep = jax.vmap(lambda ss, k: st(ss, k, False))
+        return jax.lax.scan(lambda ss, k: (vstep(ss, k), None), s, keys)[0]
 
-    def keep_body(s, keys):  # keys (thin+1, C, 2)
-        for i in range(cfg.thin - 1):
-            s = vstep_b(s, keys[i])
-        s = vstep_p(s, keys[cfg.thin - 1])
-        tl = jax.vmap(ms.tausq_long)(s.tausq_inv)[:, :n]
-        zn = jax.vmap(
-            lambda k: jax.random.normal(k, (n,), dtype=ms.dtype)
-        )(keys[cfg.thin])
-        yhat = s.XB[:, :n] + s.w[:, :n] + zn / jnp.sqrt(jnp.maximum(tl, 1e-30))
-        return s, (s.w[:, :n], yhat, s.beta, 1.0 / s.tausq_inv, s.theta)
+    @partial(jax.jit, donate_argnums=1)
+    def keep_scan(m, s, keys):
+        st = make_step(m, bounds, cfg)
+        vstep_b = jax.vmap(lambda ss, k: st(ss, k, False))
+        vstep_p = jax.vmap(lambda ss, k: st(ss, k, True))
 
-    @jax.jit
-    def keep_scan(s, keys):
+        def keep_body(s, keys):  # keys (thin+1, C, 2)
+            for i in range(cfg.thin - 1):
+                s = vstep_b(s, keys[i])
+            s = vstep_p(s, keys[cfg.thin - 1])
+            tl = jax.vmap(m.tausq_long)(s.tausq_inv)[:, :n]
+            zn = jax.vmap(
+                lambda k: jax.random.normal(k, (n,), dtype=m.dtype)
+            )(keys[cfg.thin])
+            yhat = s.XB[:, :n] + s.w[:, :n] + zn / jnp.sqrt(jnp.maximum(tl, 1e-30))
+            return s, (s.w[:, :n], yhat, s.beta, 1.0 / s.tausq_inv, s.theta)
+
         return jax.lax.scan(keep_body, s, keys)
 
     # per-chain key streams: split each chain's carried key into (next key,
     # m iteration keys) -- the user's per-chain seeds drive everything
-    from functools import partial
-
     @partial(jax.jit, static_argnums=1)
     def _next_keys_burn(chainkeys, m):  # (C, 2) -> (C, 2), (m, C, 2)
         ks = jax.vmap(lambda k: jax.random.split(k, m + 1))(chainkeys)
@@ -465,10 +470,10 @@ def run_mcmc_chains(
         ck = jnp.asarray(np.asarray(states.key))
         if bc > 0:
             _, dk = _next_keys_burn(ck, bc)
-            burn_fn = burn_scan.lower(states, _shard_keys(dk)).compile()
+            burn_fn = burn_scan.lower(ms, states, _shard_keys(dk)).compile()
         m0 = min(cfg.chunk, cfg.keep)
         _, dk2 = _next_keys_keep(ck, m0)
-        keep_compiled = keep_scan.lower(states, _shard_keys(dk2)).compile()
+        keep_compiled = keep_scan.lower(ms, states, _shard_keys(dk2)).compile()
         if verbose:
             print(f"[compile] {time.time()-t_c:.1f}s")
 
@@ -484,7 +489,9 @@ def run_mcmc_chains(
     while burned < cfg.burn:
         b = min(bc, cfg.burn - burned)
         chainkeys, bkeys = _next_keys_burn(chainkeys, b)
-        states = (burn_fn if b == bc else burn_scan)(states, _shard_keys(bkeys))
+        states = (burn_fn if b == bc else burn_scan)(
+            ms, states, _shard_keys(bkeys)
+        )
         burned += b
         _save(states, chainkeys)
         if verbose:
@@ -515,7 +522,7 @@ def run_mcmc_chains(
                   if keep_compiled is not None and m == min(cfg.chunk, cfg.keep)
                   else keep_scan)
             states, (w_s, yhat_s, beta_s, tausq_s, theta_s) = fn(
-                states, _shard_keys(ckeys)
+                ms, states, _shard_keys(ckeys)
             )
             states = states._replace(key=chainkeys)
             if sinks is not None:

@@ -48,30 +48,31 @@ def curvature_proposal_sd(
     theta0 = jnp.asarray(theta0, dtype=dt)
 
     # settle w with a few Gibbs sweeps at theta0 so the conditional target
-    # ll(theta | w) carries data information (w=0 zeroes the quadratic form)
+    # ll(theta | w) carries data information (w=0 zeroes the quadratic form).
+    # ms is a jit ARGUMENT (pytree), keeping the lowered module O(levels).
     @jax.jit
-    def _warm(theta, key):
-        leveldata, _, _, _ = sweep(ms, theta, jnp.zeros((ms.n + 1,), dtype=dt),
+    def _warm(m, theta, key):
+        leveldata, _, _, _ = sweep(m, theta, jnp.zeros((m.n + 1,), dtype=dt),
                                    build_pred=False)
-        w = jnp.zeros((ms.n + 1,), dtype=dt)
-        tausq_inv = jnp.full((ms.q,), 1.0 / start_tausq, dtype=dt)
-        XB = jnp.zeros((ms.n + 1,), dtype=dt)
+        w = jnp.zeros((m.n + 1,), dtype=dt)
+        tausq_inv = jnp.full((m.q,), 1.0 / start_tausq, dtype=dt)
+        XB = jnp.zeros((m.n + 1,), dtype=dt)
 
         def body(w, k):
-            return gibbs_w(ms, leveldata, w, tausq_inv, XB, k), None
+            return gibbs_w(m, leveldata, w, tausq_inv, XB, k), None
 
         w, _ = jax.lax.scan(body, w, jax.random.split(key, n_warm_gibbs))
         return w
 
-    w = _warm(theta0, jax.random.PRNGKey(seed))
+    w = _warm(ms, theta0, jax.random.PRNGKey(seed))
 
     @jax.jit
-    def _ll_batch(zs, w):
+    def _ll_batch(m, zs, w):
         # sequential map keeps one sweep's transients live at a time
         def one(z):
             th = transf_back(z, bnds)
-            leveldata, _, logdet, ok = sweep(ms, th, w, build_pred=False)
-            ll = logdet + quad_loglik(ms, leveldata, w)
+            leveldata, _, logdet, ok = sweep(m, th, w, build_pred=False)
+            ll = logdet + quad_loglik(m, leveldata, w)
             return jnp.where(ok, ll, jnp.nan)
 
         return jax.lax.map(one, zs)
@@ -81,7 +82,7 @@ def curvature_proposal_sd(
     zs = jnp.concatenate(
         [z0[None], z0 + h * jnp.eye(nt, dtype=dt), z0 - h * jnp.eye(nt, dtype=dt)]
     )
-    lls = np.asarray(_ll_batch(zs, w), dtype=np.float64)
+    lls = np.asarray(_ll_batch(ms, zs, w), dtype=np.float64)
     f0, fp, fm = lls[0], lls[1 : 1 + nt], lls[1 + nt :]
     curv = -(fp - 2.0 * f0 + fm) / (h * h)  # -d^2 ll / dz_i^2
 

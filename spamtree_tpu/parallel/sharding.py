@@ -45,7 +45,7 @@ def shard_model(ms: ModelStatic, mesh: Mesh) -> ModelStatic:
 
     ms.levels = [_shard_level(l) for l in ms.levels]
     if ms.pred_arrays is not None:
-        ms.pred_arrays = _shard_level(ms.pred_arrays)
+        ms.pred_arrays = [_shard_level(p) for p in ms.pred_arrays]
     for name in ("coords", "mv", "y", "X", "obs_mask", "mv_onehot_obs",
                  "mv_onehot", "XtX"):
         setattr(ms, name, jax.device_put(getattr(ms, name), rep))

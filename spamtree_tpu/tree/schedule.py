@@ -66,8 +66,9 @@ class Schedule:
     n_blocks: int
     Smax: int  # max padded block size over sweep levels (accumulator width)
     levels: list  # [LevelPlan] observed levels, root -> leaf order
-    pred: LevelPlan | None  # prediction (all-missing) level, or None
+    pred: LevelPlan | None  # prediction (all-missing) level, or None (unsplit)
     limited_tree: bool
+    pred_buckets: list = None  # size-bucketed prediction plans (see _bucket_plan)
 
 
 def _pad2(arrs: list[np.ndarray], width: int, fill) -> np.ndarray:
@@ -77,8 +78,79 @@ def _pad2(arrs: list[np.ndarray], width: int, fill) -> np.ndarray:
     return out
 
 
+def _bucket_boundaries(sizes: np.ndarray, max_buckets: int) -> list[np.ndarray]:
+    """Partition blocks into <=max_buckets size classes minimizing the padded
+    area sum(B_i * Smax_i).  Exact DP over the (few) distinct sizes."""
+    uniq, counts = np.unique(sizes, return_counts=True)
+    m = len(uniq)
+    if m <= 1 or max_buckets <= 1:
+        return [np.arange(len(sizes))]
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    # cost of one bucket covering distinct-size range [i, j): count * max size
+    cost = np.full((m, m + 1), np.inf)
+    for i in range(m):
+        for j in range(i + 1, m + 1):
+            cost[i, j] = (csum[j] - csum[i]) * uniq[j - 1]
+    best = np.full((max_buckets + 1, m + 1), np.inf)
+    prev = np.zeros((max_buckets + 1, m + 1), dtype=np.int64)
+    best[0, 0] = 0.0
+    for k in range(1, max_buckets + 1):
+        for j in range(1, m + 1):
+            for i in range(j):
+                c = best[k - 1, i] + cost[i, j]
+                if c < best[k, j]:
+                    best[k, j] = c
+                    prev[k, j] = i
+    k = int(np.argmin(best[:, m]))
+    cuts = [m]
+    j = m
+    for kk in range(k, 0, -1):
+        j = int(prev[kk, j])
+        cuts.append(j)
+    cuts = cuts[::-1]  # [0, ..., m]
+    out = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        lo, hi = uniq[a], uniq[b - 1]
+        out.append(np.flatnonzero((sizes >= lo) & (sizes <= hi)))
+    return out
+
+
+def _bucket_plan(plan: LevelPlan, n: int, max_buckets: int = 4,
+                 min_gain: float = 1.15, min_blocks: int = 64) -> list[LevelPlan]:
+    """Split a non-reference level into size buckets, each padded to its own
+    block width.  Thin levels never serve as parents (no joint factors, no
+    children gather into their batch), so regrouping their blocks is free --
+    and they are where the padding waste concentrates (the leftover 1-NN
+    level's block sizes are long-tailed; ~4x measured at n=1e5 defaults).
+    """
+    sizes = (plan.rows < n).sum(axis=1)
+    B = plan.B
+    if B < min_blocks:
+        return [plan]
+    groups = _bucket_boundaries(sizes, max_buckets)
+    if len(groups) <= 1:
+        return [plan]
+    padded = sum(len(g) * int(sizes[g].max()) for g in groups)
+    if B * plan.S < min_gain * padded:
+        return [plan]
+    out = []
+    for g in groups:
+        S_g = int(sizes[g].max())
+        out.append(LevelPlan(
+            res=plan.res, is_ref=plan.is_ref,
+            block_ids=plan.block_ids[g],
+            rows=plan.rows[g, :S_g],
+            prows=plan.prows[g],
+            lp_pos=plan.lp_pos[g], lp_level=plan.lp_level,
+            anc_blocks=plan.anc_blocks[g],
+            seg_off=list(plan.seg_off), seg_size=list(plan.seg_size),
+        ))
+    return out
+
+
 def build_schedule(
-    tree: TreeLevels, limited_tree: bool = False, validate: bool | None = None
+    tree: TreeLevels, limited_tree: bool = False, validate: bool | None = None,
+    bucket_thin: bool = True,
 ) -> Schedule:
     n = tree.n_rows
     nb = tree.n_blocks
@@ -170,20 +242,31 @@ def build_schedule(
             pred_plan = plan
             continue
 
-        for i, u in enumerate(ids):
-            block_pos[int(u)] = i
-            block_sweep_level[int(u)] = t_sweep
         if is_ref:
+            for i, u in enumerate(ids):
+                block_pos[int(u)] = i
+                block_sweep_level[int(u)] = t_sweep
             joint_rows[t_sweep] = np.concatenate([prows, rows], axis=1)
             joint_segs[t_sweep] = (
                 list(seg_off) + [prows.shape[1]],
                 list(seg_size) + [S],
             )
-        sweep_levels.append(plan)
-        t_sweep += 1
+            sweep_levels.append(plan)
+            t_sweep += 1
+        else:
+            # thin levels never serve as parents; split them into size
+            # buckets, each padded to its own width (eliminates the ~4x
+            # padding waste of the long-tailed leftover 1-NN level)
+            buckets = _bucket_plan(plan, n) if bucket_thin else [plan]
+            sweep_levels.extend(buckets)
+            t_sweep += len(buckets)
 
+    pred_buckets = (
+        (_bucket_plan(pred_plan, n) if bucket_thin else [pred_plan])
+        if pred_plan is not None else []
+    )
     Smax = max(p.S for p in sweep_levels)
     return Schedule(
         n=n, n_blocks=nb, Smax=Smax, levels=sweep_levels, pred=pred_plan,
-        limited_tree=limited_tree,
+        limited_tree=limited_tree, pred_buckets=pred_buckets,
     )

@@ -45,11 +45,14 @@ def load_state(path: str, ms: ModelStatic) -> MCMCState:
     theta = jnp.asarray(z["theta"], dtype=dt)
     w = jnp.asarray(z["w"], dtype=dt)
     stacked = theta.ndim == 2
-    sweep_fn = jax.jit(
-        jax.vmap(lambda t, ww: sweep(ms, t, ww)) if stacked
-        else (lambda t, ww: sweep(ms, t, ww))
-    )
-    leveldata, pred_data, logdet, ok = sweep_fn(theta, w)
+
+    @jax.jit
+    def sweep_fn(m, t, ww):
+        if stacked:
+            return jax.vmap(lambda tt, www: sweep(m, tt, www))(t, ww)
+        return sweep(m, t, ww)
+
+    leveldata, pred_data, logdet, ok = sweep_fn(ms, theta, w)
     if not bool(jnp.all(ok)):
         raise RuntimeError("checkpointed theta fails Cholesky on rebuild")
     ram = RAMState(

@@ -32,21 +32,23 @@ def time_phases(ms: ModelStatic, state, iters: int = 20) -> dict:
     Vi = 0.01 * jnp.eye(ms.p, dtype=ms.dtype)
     Vim = jnp.zeros((ms.p,), dtype=ms.dtype)
 
-    f_sweep = jax.jit(lambda th, w: sweep(ms, th, w))
-    f_quad = jax.jit(lambda ld, w: quad_loglik(ms, ld, w))
-    f_gw = jax.jit(lambda ld, w, ti, xb, k: gibbs_w(ms, ld, w, ti, xb, k))
-    f_pred = jax.jit(lambda pd_, w, k: predict(ms, pd_, w, k))
-    f_tau = jax.jit(lambda w, xb, k: gibbs_tausq(ms, w, xb, k, (2.01, 1.0)))
-    f_beta = jax.jit(lambda w, ti, k: gibbs_beta(ms, w, ti, k, Vi, Vim))
+    f_sweep = jax.jit(lambda m, th, w: sweep(m, th, w))
+    f_sweep_fused = jax.jit(lambda m, th, w, ld: sweep(m, th, w, quad_prev=ld))
+    f_quad = jax.jit(lambda m, ld, w: quad_loglik(m, ld, w))
+    f_gw = jax.jit(lambda m, ld, w, ti, xb, k: gibbs_w(m, ld, w, ti, xb, k))
+    f_pred = jax.jit(lambda m, pd_, w, k: predict(m, pd_, w, k))
+    f_tau = jax.jit(lambda m, w, xb, k: gibbs_tausq(m, w, xb, k, (2.01, 1.0)))
+    f_beta = jax.jit(lambda m, w, ti, k: gibbs_beta(m, w, ti, k, Vi, Vim))
 
-    ld, pd, logdet, ok = f_sweep(state.theta, state.w)
+    ld, pd, logdet, ok = f_sweep(ms, state.theta, state.w)
     phases = {
-        "sweep(theta-loglik)": lambda: f_sweep(state.theta, state.w),
-        "quad_loglik": lambda: f_quad(ld, state.w),
-        "gibbs_w": lambda: f_gw(ld, state.w, state.tausq_inv, state.XB, key),
-        "predict": lambda: f_pred(pd, state.w, key),
-        "gibbs_tausq": lambda: f_tau(state.w, state.XB, key),
-        "gibbs_beta": lambda: f_beta(state.w, state.tausq_inv, key),
+        "sweep(theta-loglik)": lambda: f_sweep(ms, state.theta, state.w),
+        "sweep_fused(+quad x2)": lambda: f_sweep_fused(ms, state.theta, state.w, ld),
+        "quad_loglik": lambda: f_quad(ms, ld, state.w),
+        "gibbs_w": lambda: f_gw(ms, ld, state.w, state.tausq_inv, state.XB, key),
+        "predict": lambda: f_pred(ms, pd, state.w, key),
+        "gibbs_tausq": lambda: f_tau(ms, state.w, state.XB, key),
+        "gibbs_beta": lambda: f_beta(ms, state.w, state.tausq_inv, key),
     }
     out = {}
     for name, fn in phases.items():
@@ -56,9 +58,12 @@ def time_phases(ms: ModelStatic, state, iters: int = 20) -> dict:
             r = fn()
         jax.block_until_ready(r)
         out[name] = (time.perf_counter() - t0) / iters * 1e3
-    out["total_per_iter"] = sum(
-        v for k, v in out.items() if k != "predict"
-    ) + out["predict"] * 0  # predict only on kept iters
+    # the production step runs the fused sweep (both MH quadratic forms ride
+    # the proposal sweep); standalone sweep/quad rows are for comparison
+    out["total_per_iter"] = (
+        out["sweep_fused(+quad x2)"] + out["gibbs_w"]
+        + out["gibbs_tausq"] + out["gibbs_beta"]
+    )
     return out
 
 
