@@ -115,6 +115,55 @@ def _bucket_boundaries(sizes: np.ndarray, max_buckets: int) -> list[np.ndarray]:
     return out
 
 
+def _merge_by_ancestor(plan: LevelPlan, n: int, nb: int) -> LevelPlan:
+    """Merge all blocks of a non-reference level that share the same deepest
+    reference ancestor into one block.
+
+    Exact: thin (and prediction) rows are conditionally independent given
+    their parent set, and blocks with the same deepest ancestor have
+    *identical* padded parent layouts (``prows = joint_rows[lp][lp_pos]``), so
+    concatenating their rows changes nothing in the math -- the diagonal
+    conditional variance, the per-row H operator, and the summed Gibbs
+    messages to each ancestor segment are all row-separable.
+
+    Why: the (B, P, P) gather of the parent joint inverse-Cholesky factor is
+    the sweep's dominant HBM traffic (measured ~2.7 GB/sweep at n=1e5), and
+    without merging each parent factor is re-read once per *child block*
+    (~4x fan-in at default settings).  After merging each parent is read at
+    most once per level.  ``block_ids`` becomes (B, M) padded with ``nb`` --
+    the kernels never read it; host-side consumers must treat it as a set.
+    """
+    if plan.P == 0 or plan.B <= 1 or plan.is_ref:
+        return plan
+    order = np.argsort(plan.lp_pos, kind="stable")
+    lp_sorted = plan.lp_pos[order]
+    starts = np.flatnonzero(np.r_[True, lp_sorted[1:] != lp_sorted[:-1]])
+    groups = np.split(order, starts[1:])
+    if len(groups) == plan.B:
+        return plan
+    sizes = (plan.rows < n).sum(axis=1)
+    row_lists = [
+        np.concatenate([plan.rows[i, : sizes[i]] for i in g]) for g in groups
+    ]
+    S = max(len(r) for r in row_lists)
+    bid = plan.block_ids.reshape(plan.B, -1)  # (B,) or (B, M0) -> 2D view
+    ids_src = [np.concatenate([bid[i][bid[i] < nb] for i in g]) for g in groups]
+    M = max(len(s) for s in ids_src)
+    ids = np.full((len(groups), M), nb, dtype=np.int64)
+    for k, s in enumerate(ids_src):
+        ids[k, : len(s)] = s
+    first = np.array([g[0] for g in groups])
+    return LevelPlan(
+        res=plan.res, is_ref=plan.is_ref,
+        block_ids=ids,
+        rows=_pad2(row_lists, S, n),
+        prows=plan.prows[first],
+        lp_pos=plan.lp_pos[first], lp_level=plan.lp_level,
+        anc_blocks=plan.anc_blocks[first],
+        seg_off=list(plan.seg_off), seg_size=list(plan.seg_size),
+    )
+
+
 def _bucket_plan(plan: LevelPlan, n: int, max_buckets: int = 4,
                  min_gain: float = 1.15, min_blocks: int = 64) -> list[LevelPlan]:
     """Split a non-reference level into size buckets, each padded to its own
@@ -150,7 +199,7 @@ def _bucket_plan(plan: LevelPlan, n: int, max_buckets: int = 4,
 
 def build_schedule(
     tree: TreeLevels, limited_tree: bool = False, validate: bool | None = None,
-    bucket_thin: bool = True,
+    bucket_thin: bool = True, merge_thin: bool = True,
 ) -> Schedule:
     n = tree.n_rows
     nb = tree.n_blocks
@@ -254,13 +303,20 @@ def build_schedule(
             sweep_levels.append(plan)
             t_sweep += 1
         else:
-            # thin levels never serve as parents; split them into size
-            # buckets, each padded to its own width (eliminates the ~4x
-            # padding waste of the long-tailed leftover 1-NN level)
+            # thin levels never serve as parents, so their blocks can be
+            # regrouped freely: first merge blocks sharing a deepest ref
+            # ancestor (one parent-factor gather per ancestor instead of one
+            # per child block), then split into size buckets, each padded to
+            # its own width (eliminates the ~4x padding waste of the
+            # long-tailed leftover 1-NN level)
+            if merge_thin:
+                plan = _merge_by_ancestor(plan, n, nb)
             buckets = _bucket_plan(plan, n) if bucket_thin else [plan]
             sweep_levels.extend(buckets)
             t_sweep += len(buckets)
 
+    if pred_plan is not None and merge_thin:
+        pred_plan = _merge_by_ancestor(pred_plan, n, nb)
     pred_buckets = (
         (_bucket_plan(pred_plan, n) if bucket_thin else [pred_plan])
         if pred_plan is not None else []

@@ -14,7 +14,7 @@ from spamtree_tpu.tree.partition import make_tree
 from spamtree_tpu.tree.schedule import build_schedule
 
 
-def _pair(n=2400, q=2, seed=9):
+def _pair(n=2400, q=2, seed=9, merge=(False, False), bucket=(False, True)):
     rng = np.random.default_rng(seed)
     base = rng.uniform(size=(n // q, 2))
     coords = np.repeat(base, q, axis=0)
@@ -30,8 +30,8 @@ def _pair(n=2400, q=2, seed=9):
                      rng=np.random.default_rng(seed))
     tspec = make_theta_spec(2, q)
     out = []
-    for bucket in (False, True):
-        sched = build_schedule(tree, bucket_thin=bucket)
+    for bk, mg in zip(bucket, merge):
+        sched = build_schedule(tree, bucket_thin=bk, merge_thin=mg)
         out.append(ModelStatic(sched, coords, mv, y, X, tspec.spec,
                                dtype=jnp.float64))
     return out[0], out[1], tspec
@@ -102,6 +102,32 @@ def test_bucketed_sharded_step_matches():
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(outs[1].theta),
                                np.asarray(outs[0].theta), rtol=1e-10)
+
+
+def test_merged_step_matches():
+    """Merging thin blocks that share a deepest ref ancestor is a pure layout
+    change too: blocks with the same ancestor have identical parent layouts
+    and row-separable conditionals, so a full transition is bit-for-bit the
+    same math (row-indexed RNG, as with bucketing)."""
+    ms0, ms1, tspec = _pair(merge=(False, True), bucket=(True, True))
+    assert len(ms1.levels) < len(ms0.levels) or (
+        sum(l.rows.shape[0] for l in ms1.levels)
+        < sum(l.rows.shape[0] for l in ms0.levels)
+    )  # merging must actually regroup blocks (else vacuous)
+    cfg = MCMCConfig(keep=2, burn=1)
+    key = jax.random.PRNGKey(3)
+    outs = []
+    for ms in (ms0, ms1):
+        st = init_state(ms, tspec.bounds, tspec.start, cfg=cfg, seed=0)
+        step = make_step(ms, tspec.bounds, cfg)
+        out = jax.jit(lambda s, k: step(s, k, True))(st, key)
+        outs.append(out)
+    np.testing.assert_allclose(np.asarray(outs[1].w), np.asarray(outs[0].w),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outs[1].theta),
+                               np.asarray(outs[0].theta), rtol=1e-10)
+    np.testing.assert_allclose(float(outs[1].logdetCi),
+                               float(outs[0].logdetCi), rtol=1e-10)
 
 
 def test_bucketed_step_matches():

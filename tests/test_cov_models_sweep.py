@@ -14,8 +14,12 @@ from spamtree_tpu.tree.schedule import build_schedule
 
 def _brute_ll(tree, sched, C, w):
     total = 0.0
+    nb = sched.n_blocks
     for plan in sched.levels:
-        for u in plan.block_ids:
+        # merged thin plans carry (B, M) member-id sets padded with n_blocks
+        for u in np.asarray(plan.block_ids).ravel():
+            if u >= nb:
+                continue
             rows = tree.block_rows[u]
             par = (np.concatenate([tree.block_rows[p] for p in tree.parents[u]])
                    if len(tree.parents[u]) else np.zeros(0, dtype=np.int64))

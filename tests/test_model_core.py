@@ -57,8 +57,12 @@ def _dense_cov(ms, theta, coords, mv):
 def _brute_blocks(ms, tree, sched, C):
     """Per observed block: (rows, par_rows, H, R or diag r, is_ref)."""
     out = []
+    nb = sched.n_blocks
     for plan in sched.levels:
-        for i, u in enumerate(plan.block_ids):
+        # merged thin plans carry (B, M) member-id sets padded with n_blocks
+        for u in np.asarray(plan.block_ids).ravel():
+            if u >= nb:
+                continue
             rows = tree.block_rows[u]
             if len(tree.parents[u]):
                 par = np.concatenate([tree.block_rows[p] for p in tree.parents[u]])
