@@ -152,7 +152,10 @@ class ModelStatic:
 
         def _conv_stage(plan, n_chunks=1):
             B = plan.rows.shape[0]
-            mult = block_multiple * n_chunks
+            gc = getattr(plan, "group_c", 1)
+            # padding must keep parent-major groups whole per shard and per
+            # sequential slab (lp_pos[::gc] indexing relies on alignment)
+            mult = block_multiple * n_chunks * gc
             pad = (-B) % mult  # whole dummy blocks for even sharding/chunking
             nb = sched.n_blocks
 
@@ -198,6 +201,7 @@ class ModelStatic:
 
         self.levels = [_build(s) for s in staged]
         self.level_is_ref = [p.is_ref for p in sched.levels]
+        self.level_group_c = [getattr(p, "group_c", 1) for p in sched.levels]
         self.level_lp = [p.lp_level for p in sched.levels]
         self.level_segs = [(p.seg_off, p.seg_size) for p in sched.levels]
         self.pred_arrays = [_build(s) for s in staged_pred] or None
@@ -253,12 +257,15 @@ class ModelStatic:
                 assert len(tp_set) == 1, f"segment {a} of level {t}: {tp_set}"
                 tp = tp_set.pop()
                 segs.append(tp)
-                par_ids = sched.levels[tp].block_ids
+                par_ids = np.asarray(sched.levels[tp].block_ids)
                 Bc = anc_a.shape[0]
                 Bp = self.levels[tp].rows.shape[0]
-                # vectorized block-id -> position-in-level lookup
+                # vectorized block-id -> position-in-level lookup; dummy
+                # group-padding blocks (id == n_blocks) must not claim the
+                # sentinel slot, which routes masked children to "dropped"
                 pos_table = np.full(sched.n_blocks + 1, Bp, dtype=np.int64)
-                pos_table[np.asarray(par_ids)] = np.arange(len(par_ids))
+                real_par = par_ids < sched.n_blocks
+                pos_table[par_ids[real_par]] = np.arange(len(par_ids))[real_par]
                 pvec = pos_table[np.minimum(anc_a, sched.n_blocks)]
                 if Bp * Bc * 4 <= assign_bytes:
                     A = np.zeros((Bp + 1, Bc), dtype=np.float32)
@@ -298,7 +305,8 @@ _MS_ARRAY_FIELDS = (
 )
 _MS_STATIC_FIELDS = (
     "spec", "dtype", "use_pallas", "n", "p", "q", "limited_tree",
-    "level_chunks", "pred_chunks", "level_is_ref", "level_lp", "level_segs",
+    "level_chunks", "pred_chunks", "level_is_ref", "level_group_c",
+    "level_lp", "level_segs",
     "pred_lp", "serves_as_parent", "last_consumer", "seg_level",
     "pred_in_carry",
 )
@@ -330,8 +338,8 @@ def _ms_unflatten(static, arrays):
     ms.assign = arrays[len(_MS_ARRAY_FIELDS)]
     ms.anc_pos = arrays[len(_MS_ARRAY_FIELDS) + 1]
     for f, v in zip(_MS_STATIC_FIELDS, static):
-        if f in ("level_chunks", "pred_chunks", "level_is_ref", "level_lp",
-                 "serves_as_parent"):
+        if f in ("level_chunks", "pred_chunks", "level_is_ref",
+                 "level_group_c", "level_lp", "serves_as_parent"):
             v = list(v)
         elif f == "level_segs":
             v = [(list(a), list(b)) for a, b in v]
@@ -344,6 +352,55 @@ def _ms_unflatten(static, arrays):
 
 
 jax.tree_util.register_pytree_node(ModelStatic, _ms_flatten, _ms_unflatten)
+
+
+def _apply_parent_factor(parent_joint, lp_pos, Kxc, gc: int):
+    """Conditional-mean machinery M = LAi Kxc, H = Kxc' LAi' LAi.
+
+    With ``gc > 1`` the level is parent-major in groups of gc children
+    (schedule._group_ref_plan), so the (P, P) parent joint factor -- the
+    largest operand of the sweep -- is gathered once per *parent* and applied
+    to all children as one batched GEMM with a (P, gc*S) right-hand side.
+    Returns (M, H, LAi) where LAi is (B, P, P) for gc == 1 and (G, P, P)
+    grouped otherwise (callers broadcast for the joint-factor assembly).
+    """
+    B, P, S = Kxc.shape
+    if gc <= 1:
+        LAi = parent_joint[lp_pos]  # (B, P, P)
+        M = LAi @ Kxc  # (B, P, S)
+        H = jnp.einsum("bps,bpq->bsq", M, LAi)  # Kxc' LAi' LAi
+        return M, H, LAi
+    G = B // gc
+    LAi = parent_joint[lp_pos[::gc]]  # (G, P, P)
+    Kxc4 = Kxc.reshape(G, gc, P, S)
+    M4 = jnp.einsum("gpq,gcqs->gcps", LAi, Kxc4)
+    H = jnp.einsum("gcps,gpq->gcsq", M4, LAi).reshape(B, S, P)
+    return M4.reshape(B, P, S), H, LAi
+
+
+def _assemble_joint(LAi, Rinv, H, P, S, gc, dtype):
+    """Joint inverse-Cholesky factor J = [[LAi, 0], [-Rinv H, Rinv]].
+
+    Concatenation instead of zeros + dynamic-update-slices: XLA lowers the
+    .at[].set chain to full-tensor copies (measured 3.6 ms for the deepest
+    level's (1024, 296, 296) at n=1e5 -- 4x the pure write cost); the concat
+    form writes each element exactly once (~0.9 ms).
+    """
+    B = Rinv.shape[0]
+    if P == 0:
+        return Rinv
+    LAi_b = (
+        LAi if gc <= 1 else jnp.broadcast_to(
+            LAi[:, None], (B // gc, gc, P, P)
+        ).reshape(B, P, P)
+    )
+    top = jnp.concatenate(
+        [LAi_b, jnp.zeros((B, P, S), dtype=dtype)], axis=2
+    )
+    bot = jnp.concatenate(
+        [-jnp.einsum("bst,btp->bsp", Rinv, H), Rinv], axis=2
+    )
+    return jnp.concatenate([top, bot], axis=1)
 
 
 def _bcov(ms: ModelStatic, params, cx1, mv1, cx2, mv2):
@@ -404,12 +461,13 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
     for t, lvl_full in enumerate(ms.levels):
         P = lvl_full.prows.shape[1]
         is_ref = ms.level_is_ref[t]
+        gc = ms.level_group_c[t]
         emit_joint = is_ref and ms.serves_as_parent[t]
         parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
         prev_t = quad_prev[t] if quad_prev is not None else None
 
         def level_body(carry, args, P=P, is_ref=is_ref, emit_joint=emit_joint,
-                       parent_joint=parent_joint):
+                       parent_joint=parent_joint, gc=gc):
             logdet, ok, qn, qc = carry
             lvl, prev = args
             B, S = lvl.rows.shape
@@ -423,11 +481,11 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                 mvp = ms.mv[lvl.prows]
                 Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
                 Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
-                LAi = parent_joint[lvl.lp_pos]  # (B, P, P)
-                M = LAi @ Kxc  # (B, P, S)
-                H = jnp.einsum("bps,bpq->bsq", M, LAi)  # Kxc' LAi' LAi
+                M, H, LAi = _apply_parent_factor(
+                    parent_joint, lvl.lp_pos, Kxc, gc
+                )
             else:
-                Kxc = M = None
+                Kxc = M = LAi = None
                 H = jnp.zeros((B, S, 0), dtype=ms.dtype)
 
             if is_ref:
@@ -463,14 +521,7 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                         ok = ok & jnp.all(okp)
                         J = Jp
                     else:
-                        Q = P + S
-                        J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
-                        if P > 0:
-                            J = J.at[:, :P, :P].set(LAi)
-                            J = J.at[:, P:, :P].set(
-                                -jnp.einsum("bst,btp->bsp", Rinv, H)
-                            )
-                        J = J.at[:, P:, P:].set(Rinv)
+                        J = _assemble_joint(LAi, Rinv, H, P, S, gc, ms.dtype)
                 outs = (H, prec, J) if emit_joint else (H, prec)
                 return (logdet, ok, qn, qc), outs
             else:
@@ -580,9 +631,10 @@ def _joints_upto(ms: ModelStatic, params, upto: int):
         assert ms.level_is_ref[t], "prediction ancestors must be ref levels"
         lvl_full = ms.levels[t]
         P = lvl_full.prows.shape[1]
+        gc = ms.level_group_c[t]
         parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
 
-        def body(carry, lvl, P=P, parent_joint=parent_joint):
+        def body(carry, lvl, P=P, parent_joint=parent_joint, gc=gc):
             B, S = lvl.rows.shape
             cxr = ms.coords[lvl.rows]
             mvr = ms.mv[lvl.rows]
@@ -593,8 +645,9 @@ def _joints_upto(ms: ModelStatic, params, upto: int):
                 mvp = ms.mv[lvl.prows]
                 Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
                 Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
-                LAi = parent_joint[lvl.lp_pos]
-                M = LAi @ Kxc
+                M, H, LAi = _apply_parent_factor(
+                    parent_joint, lvl.lp_pos, Kxc, gc
+                )
                 Rcc = Rcc - jnp.einsum("bps,bpt->bst", M, M)
             if ms.limited_tree:
                 _, J, _ = chol_inv_masked(Kcc, lvl.rmask,
@@ -602,13 +655,10 @@ def _joints_upto(ms: ModelStatic, params, upto: int):
                 return carry, (J,)
             _, Rinv, _ = chol_inv_masked(Rcc, lvl.rmask,
                                          ms.use_pallas and S <= 64)
-            Q = P + S
-            J = jnp.zeros((B, Q, Q), dtype=ms.dtype)
-            if P > 0:
-                H = jnp.einsum("bps,bpq->bsq", M, LAi)
-                J = J.at[:, :P, :P].set(LAi)
-                J = J.at[:, P:, :P].set(-jnp.einsum("bst,btp->bsp", Rinv, H))
-            J = J.at[:, P:, P:].set(Rinv)
+            J = _assemble_joint(
+                LAi if P > 0 else None, Rinv, H if P > 0 else None,
+                P, S, gc, ms.dtype,
+            )
             return carry, (J,)
 
         _, (J,) = _run_level(lvl_full, ms.level_chunks[t], None, body)

@@ -46,6 +46,10 @@ class LevelPlan:
     anc_blocks: np.ndarray  # (B, n_anc) ancestor block id per layout segment
     seg_off: list  # [n_anc] static start offset of each ancestor segment
     seg_size: list  # [n_anc] static padded size of each ancestor segment
+    # reference levels only: blocks are ordered parent-major in groups of
+    # group_c children per parent (dummy-padded), so the (P, P) parent joint
+    # factor is gathered once per *parent* instead of once per child
+    group_c: int = 1
 
     @property
     def B(self) -> int:
@@ -164,6 +168,61 @@ def _merge_by_ancestor(plan: LevelPlan, n: int, nb: int) -> LevelPlan:
     )
 
 
+def _group_ref_plan(plan: LevelPlan, n: int, nb: int,
+                    max_waste: float = 1.15) -> LevelPlan:
+    """Reorder a reference level parent-major and pad each parent's children
+    to a uniform count ``group_c`` with dummy blocks.
+
+    Unlike thin levels, reference blocks cannot be merged (each one is a unit
+    of the treed DAG: it emits its own joint factor and its children condition
+    on it) -- but they *can* be reordered.  With children of one parent
+    contiguous, the sweep gathers the (P, P) parent joint inverse-Cholesky
+    factor once per parent and applies it to all ``group_c`` children as one
+    batched GEMM with a (P, group_c*S) right-hand side: fewer HBM reads of the
+    level's largest operand and taller MXU tiles.  Dummy blocks (rows all
+    sentinel) factor to identity and send zero messages; they are skipped for
+    position registration via their ``nb`` block id.  Applied only when the
+    dummy padding is <= max_waste of the real block count.
+    """
+    if plan.P == 0 or plan.B <= 1 or not plan.is_ref:
+        return plan
+    order = np.argsort(plan.lp_pos, kind="stable")
+    lp_sorted = plan.lp_pos[order]
+    starts = np.flatnonzero(np.r_[True, lp_sorted[1:] != lp_sorted[:-1]])
+    groups = np.split(order, starts[1:])
+    C = max(len(g) for g in groups)
+    if C <= 1 or len(groups) * C > max_waste * plan.B:
+        return plan
+    # permutation with -1 marking dummy slots
+    perm = np.full(len(groups) * C, -1, dtype=np.int64)
+    for k, g in enumerate(groups):
+        perm[k * C : k * C + len(g)] = g
+    real = perm >= 0
+    src = np.maximum(perm, 0)
+    # dummies copy their group leader's parent pointers (the gather then
+    # reads no extra factor) but get sentinel rows/ancestors (masked out)
+    leader = np.repeat([g[0] for g in groups], C)
+    take = np.where(real, src, leader)
+
+    def _take(a, dummy_fill=None):
+        out = a[take].copy()
+        if dummy_fill is not None:
+            out[~real] = dummy_fill
+        return out
+
+    return LevelPlan(
+        res=plan.res, is_ref=True,
+        block_ids=_take(plan.block_ids, nb),
+        rows=_take(plan.rows, n),
+        prows=_take(plan.prows),
+        lp_pos=_take(plan.lp_pos),
+        lp_level=plan.lp_level,
+        anc_blocks=_take(plan.anc_blocks, nb),
+        seg_off=list(plan.seg_off), seg_size=list(plan.seg_size),
+        group_c=C,
+    )
+
+
 def _bucket_plan(plan: LevelPlan, n: int, max_buckets: int = 4,
                  min_gain: float = 1.15, min_blocks: int = 64) -> list[LevelPlan]:
     """Split a non-reference level into size buckets, each padded to its own
@@ -199,7 +258,7 @@ def _bucket_plan(plan: LevelPlan, n: int, max_buckets: int = 4,
 
 def build_schedule(
     tree: TreeLevels, limited_tree: bool = False, validate: bool | None = None,
-    bucket_thin: bool = True, merge_thin: bool = True,
+    bucket_thin: bool = True, merge_thin: bool = True, group_ref: bool = True,
 ) -> Schedule:
     n = tree.n_rows
     nb = tree.n_blocks
@@ -292,12 +351,16 @@ def build_schedule(
             continue
 
         if is_ref:
-            for i, u in enumerate(ids):
+            if group_ref:
+                plan = _group_ref_plan(plan, n, nb)
+            for i, u in enumerate(plan.block_ids):
+                if u >= nb:  # dummy group-padding block
+                    continue
                 block_pos[int(u)] = i
                 block_sweep_level[int(u)] = t_sweep
-            joint_rows[t_sweep] = np.concatenate([prows, rows], axis=1)
+            joint_rows[t_sweep] = np.concatenate([plan.prows, plan.rows], axis=1)
             joint_segs[t_sweep] = (
-                list(seg_off) + [prows.shape[1]],
+                list(seg_off) + [plan.prows.shape[1]],
                 list(seg_size) + [S],
             )
             sweep_levels.append(plan)
