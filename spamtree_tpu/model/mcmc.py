@@ -234,17 +234,33 @@ def run_mcmc(
     def keep_scan(m, s, keys):
         st = make_step(m, bounds, cfg)
 
+        # yhat = XB + w + tau*z is reconstructed on the HOST from (w, beta,
+        # tausq): the device->host link is the bottleneck at large n
+        # (measured ~20 MB/s through the relay vs ~30 ms/iteration compute),
+        # so only w rides the wire, not the redundant yhat
         def keep_body(s, keys):
             for i in range(cfg.thin - 1):
                 s = st(s, keys[i], False)
             s = st(s, keys[cfg.thin - 1], True)
-            tl = m.tausq_long(s.tausq_inv)[:n]
-            znoise = jax.random.normal(keys[cfg.thin], (n,), dtype=m.dtype)
-            yhat = s.XB[:n] + s.w[:n] + znoise / jnp.sqrt(jnp.maximum(tl, 1e-30))
-            out = (s.w[:n], yhat, s.beta, 1.0 / s.tausq_inv, s.theta)
+            out = (s.w[:n], s.beta, 1.0 / s.tausq_inv, s.theta)
             return s, out
 
         return jax.lax.scan(keep_body, s, keys)
+
+    # host-side data for the yhat reconstruction (one-time small fetches)
+    X_h = np.asarray(ms.X)
+    mv_h = np.asarray(ms.mv[:n])
+    onehot_h = np.asarray(ms.mv_onehot[:n])
+    yhat_rng = np.random.default_rng(int(np.asarray(state.key).ravel()[-1]))
+
+    def _yhat_host(w_s, beta_s, tausq_s):
+        """(m, n) posterior-predictive draws: X beta + w + tau z, exactly the
+        reference's spamtree_fit.cpp:384 with host RNG for z."""
+        XBq = np.einsum("np,kpq->knq", X_h, beta_s)
+        XB = np.einsum("knq,nq->kn", XBq, onehot_h)
+        sd = np.sqrt(tausq_s[:, mv_h])  # (m, n) per-row margin noise sd
+        z = yhat_rng.standard_normal(w_s.shape, dtype=np.float32)
+        return XB + w_s + sd * z
 
     # burn runs in bounded-length device calls: keeps single XLA executions
     # short (relay/watchdog friendly at large n) and allows progress +
@@ -334,36 +350,70 @@ def run_mcmc(
 
     outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
     kept = 0
-    try:
-        while kept < cfg.keep:
-            m = min(cfg.chunk, cfg.keep - kept)
-            key, sub = jax.random.split(key)
-            ckeys = jax.random.split(sub, m * (cfg.thin + 1)).reshape(m, cfg.thin + 1, 2)
-            fn = keep_compiled if (keep_compiled is not None and m == min(cfg.chunk, cfg.keep)) else keep_scan
-            state, (w_s, yhat_s, beta_s, tausq_s, theta_s) = fn(ms, state, ckeys)
-            state = state._replace(key=key)
-            if sinks is not None:
-                sinks["w"].push(np.asarray(w_s, dtype=np.float32))
-                sinks["yhat"].push(np.asarray(yhat_s, dtype=np.float32))
-            else:
-                outs["w"].append(np.asarray(w_s))
-                outs["yhat"].append(np.asarray(yhat_s))
-            outs["beta"].append(np.asarray(beta_s))
-            outs["tausq"].append(np.asarray(tausq_s))
-            outs["theta"].append(np.asarray(theta_s))
-            kept += m
-            if not np.isfinite(np.asarray(theta_s)).all():
-                # reference aborts on NaN loglik (spamtree_fit.cpp:234-237)
-                raise FloatingPointError(
-                    "non-finite theta in chain; aborting (NaN loglik guard)"
-                )
-            if checkpoint_path:
-                from spamtree_tpu.utils.checkpoint import save_state
+    drained = 0
+    # pipelined drain: the next chunk is dispatched BEFORE the previous
+    # chunk's samples are pulled to host, so the ~2 s/chunk device->host
+    # transfer overlaps the ~3 s/chunk sampling compute.  Disabled when
+    # checkpointing (the saved state must not run ahead of drained samples).
+    pipeline = checkpoint_path is None
+    pending = None  # device arrays of the previously dispatched chunk
 
-                save_state(checkpoint_path, state)
-            if verbose:
-                _report("keep", kept, cfg.keep, state,
-                        cfg.burn + kept * cfg.thin)
+    def _drain(dev_outs, m):
+        nonlocal drained
+        w_s, beta_s, tausq_s, theta_s = [np.asarray(a) for a in dev_outs]
+        yhat_s = _yhat_host(w_s, beta_s, tausq_s)
+        if sinks is not None:
+            sinks["w"].push(w_s.astype(np.float32, copy=False))
+            sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
+        else:
+            outs["w"].append(w_s)
+            outs["yhat"].append(yhat_s)
+        outs["beta"].append(beta_s)
+        outs["tausq"].append(tausq_s)
+        outs["theta"].append(theta_s)
+        drained += m
+        if not np.isfinite(theta_s).all():
+            # reference aborts on NaN loglik (spamtree_fit.cpp:234-237)
+            raise FloatingPointError(
+                "non-finite theta in chain; aborting (NaN loglik guard)"
+            )
+        if checkpoint_path:
+            from spamtree_tpu.utils.checkpoint import save_state
+
+            save_state(checkpoint_path, state)
+        if verbose:
+            _report("keep", drained, cfg.keep, state,
+                    cfg.burn + drained * cfg.thin)
+
+    try:
+        while kept < cfg.keep or pending is not None:
+            cur = None
+            m = 0
+            if kept < cfg.keep:
+                m = min(cfg.chunk, cfg.keep - kept)
+                key, sub = jax.random.split(key)
+                ckeys = jax.random.split(sub, m * (cfg.thin + 1)).reshape(
+                    m, cfg.thin + 1, 2
+                )
+                fn = (keep_compiled
+                      if (keep_compiled is not None
+                          and m == min(cfg.chunk, cfg.keep))
+                      else keep_scan)
+                state, cur = fn(ms, state, ckeys)
+                state = state._replace(key=key)
+                kept += m
+                for a in cur:  # start the async device->host copies early
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
+            if pending is not None:
+                _drain(*pending)
+                pending = None
+            if pipeline:
+                pending = (cur, m) if cur is not None else None
+            elif cur is not None:
+                _drain(cur, m)
     except KeyboardInterrupt:
         print("MCMC interrupted; returning partial results.")
 
@@ -435,18 +485,29 @@ def run_mcmc_chains(
         vstep_b = jax.vmap(lambda ss, k: st(ss, k, False))
         vstep_p = jax.vmap(lambda ss, k: st(ss, k, True))
 
+        # yhat reconstructed host-side from (w, beta, tausq), as in run_mcmc
         def keep_body(s, keys):  # keys (thin+1, C, 2)
             for i in range(cfg.thin - 1):
                 s = vstep_b(s, keys[i])
             s = vstep_p(s, keys[cfg.thin - 1])
-            tl = jax.vmap(m.tausq_long)(s.tausq_inv)[:, :n]
-            zn = jax.vmap(
-                lambda k: jax.random.normal(k, (n,), dtype=m.dtype)
-            )(keys[cfg.thin])
-            yhat = s.XB[:, :n] + s.w[:, :n] + zn / jnp.sqrt(jnp.maximum(tl, 1e-30))
-            return s, (s.w[:, :n], yhat, s.beta, 1.0 / s.tausq_inv, s.theta)
+            return s, (s.w[:, :n], s.beta, 1.0 / s.tausq_inv, s.theta)
 
         return jax.lax.scan(keep_body, s, keys)
+
+    X_h = np.asarray(ms.X)
+    mv_h = np.asarray(ms.mv[:n])
+    onehot_h = np.asarray(ms.mv_onehot[:n])
+    yhat_rng = np.random.default_rng(
+        int(np.asarray(states.key).ravel()[-1])
+    )
+
+    def _yhat_host(w_s, beta_s, tausq_s):
+        """(m, C, n) posterior-predictive draws (host RNG for the noise)."""
+        XBq = np.einsum("np,mcpq->mcnq", X_h, beta_s)
+        XB = np.einsum("mcnq,nq->mcn", XBq, onehot_h)
+        sd = np.sqrt(tausq_s[:, :, mv_h])  # (m, C, n)
+        z = yhat_rng.standard_normal(w_s.shape, dtype=np.float32)
+        return XB + w_s + sd * z
 
     # per-chain key streams: split each chain's carried key into (next key,
     # m iteration keys) -- the user's per-chain seeds drive everything
@@ -514,35 +575,59 @@ def run_mcmc_chains(
 
     outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
     kept = 0
-    try:
-        while kept < cfg.keep:
-            m = min(cfg.chunk, cfg.keep - kept)
-            chainkeys, ckeys = _next_keys_keep(chainkeys, m)
-            fn = (keep_compiled
-                  if keep_compiled is not None and m == min(cfg.chunk, cfg.keep)
-                  else keep_scan)
-            states, (w_s, yhat_s, beta_s, tausq_s, theta_s) = fn(
-                ms, states, _shard_keys(ckeys)
+    drained = 0
+    pipeline = checkpoint_path is None  # see run_mcmc
+    pending = None
+
+    def _drain(dev_outs, m):
+        nonlocal drained
+        w_s, beta_s, tausq_s, theta_s = [np.asarray(a) for a in dev_outs]
+        yhat_s = _yhat_host(w_s, beta_s, tausq_s)
+        if sinks is not None:
+            sinks["w"].push(w_s.astype(np.float32, copy=False))
+            sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
+        else:
+            outs["w"].append(w_s)
+            outs["yhat"].append(yhat_s)
+        outs["beta"].append(beta_s)
+        outs["tausq"].append(tausq_s)
+        outs["theta"].append(theta_s)
+        drained += m
+        if not np.isfinite(theta_s).all():
+            raise FloatingPointError(
+                "non-finite theta in chain; aborting (NaN loglik guard)"
             )
-            states = states._replace(key=chainkeys)
-            if sinks is not None:
-                sinks["w"].push(np.asarray(w_s, dtype=np.float32))
-                sinks["yhat"].push(np.asarray(yhat_s, dtype=np.float32))
-            else:
-                outs["w"].append(np.asarray(w_s))
-                outs["yhat"].append(np.asarray(yhat_s))
-            outs["beta"].append(np.asarray(beta_s))
-            outs["tausq"].append(np.asarray(tausq_s))
-            outs["theta"].append(np.asarray(theta_s))
-            kept += m
-            if not np.isfinite(np.asarray(theta_s)).all():
-                raise FloatingPointError(
-                    "non-finite theta in chain; aborting (NaN loglik guard)"
-                )
-            _save(states, chainkeys)
-            if verbose:
-                print(f"[keep] {kept}/{cfg.keep} x {C} chains, "
-                      f"{time.time()-t0:.2f}s")
+        _save(states, chainkeys)
+        if verbose:
+            print(f"[keep] {drained}/{cfg.keep} x {C} chains, "
+                  f"{time.time()-t0:.2f}s")
+
+    try:
+        while kept < cfg.keep or pending is not None:
+            cur = None
+            m = 0
+            if kept < cfg.keep:
+                m = min(cfg.chunk, cfg.keep - kept)
+                chainkeys, ckeys = _next_keys_keep(chainkeys, m)
+                fn = (keep_compiled
+                      if keep_compiled is not None
+                      and m == min(cfg.chunk, cfg.keep)
+                      else keep_scan)
+                states, cur = fn(ms, states, _shard_keys(ckeys))
+                states = states._replace(key=chainkeys)
+                kept += m
+                for a in cur:
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
+            if pending is not None:
+                _drain(*pending)
+                pending = None
+            if pipeline:
+                pending = (cur, m) if cur is not None else None
+            elif cur is not None:
+                _drain(cur, m)
     except KeyboardInterrupt:
         print("MCMC interrupted; returning partial results.")
 
