@@ -21,6 +21,7 @@ theta-proposal sweep auto-rejects, mirroring the reference's try/catch ->
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -133,9 +134,61 @@ class ModelStatic:
                 return 1
             return int(np.ceil(big / chunk_bytes))
 
-        self.level_chunks = [_n_chunks(p) for p in sched.levels]
         pred_buckets = sched.pred_buckets or []
-        self.pred_chunks = [_n_chunks(p, 2) for p in pred_buckets]
+
+        def _n_chunks_aligned(plan) -> int:
+            # aligned levels never materialize the (B, P, P) gather -- the
+            # factor batch is read in place -- so the peak transient is the
+            # (B, P, S)-class tensors (Kxc, M, H)
+            B, S, P = plan.rows.shape[0], plan.rows.shape[1], plan.prows.shape[1]
+            big = 3 * B * P * max(S, 1) * itemsize
+            if not chunk_bytes or big <= chunk_bytes:
+                return 1
+            return int(np.ceil(big / chunk_bytes))
+
+        # parent-aligned thin/pred levels (schedule._align_to_parent) read
+        # the parent joint-factor batch directly instead of gathering rows,
+        # which requires the child's padded B to EQUAL the parent's padded B
+        # and the level to run unchunked; otherwise demote to the gather
+        # path (their lp_pos is the identity, so gathering stays correct)
+        padded_B: list = []
+        self.level_chunks = []
+        self.level_aligned = []
+        for t, p in enumerate(sched.levels):
+            gc = getattr(p, "group_c", 1)
+            B = p.rows.shape[0]
+            al = bool(getattr(p, "aligned", False))
+            nc = (_n_chunks_aligned(p) if al else _n_chunks(p))
+            al = al and nc == 1
+            if not al:
+                nc = _n_chunks(p)
+            mult = block_multiple * nc * gc
+            tgt = padded_B[p.lp_level] if al else None
+            if al and (tgt < B or tgt % mult != 0):
+                al, tgt = False, None
+                nc = _n_chunks(p)
+                mult = block_multiple * nc * gc
+            self.level_chunks.append(nc)
+            self.level_aligned.append(al)
+            padded_B.append(tgt if tgt is not None else B + (-B) % mult)
+        self.pred_chunks = []
+        self.pred_aligned = []
+        pred_pad_to = []
+        for p in pred_buckets:
+            B = p.rows.shape[0]
+            al = bool(getattr(p, "aligned", False))
+            nc = (_n_chunks_aligned(p) if al else _n_chunks(p, 2))
+            al = al and nc == 1
+            if not al:
+                nc = _n_chunks(p, 2)
+            mult = block_multiple * nc
+            tgt = padded_B[p.lp_level] if al else None
+            if al and (tgt < B or tgt % mult != 0):
+                al, tgt = False, None
+                nc = _n_chunks(p, 2)
+            self.pred_chunks.append(nc)
+            self.pred_aligned.append(al)
+            pred_pad_to.append(tgt)
 
         # one bulk int32 transfer for all index arrays: the device link has
         # high per-transfer overhead, so ~30 individual puts of up to 50MB
@@ -150,13 +203,15 @@ class ModelStatic:
             _pack_bufs.append(np.ascontiguousarray(a, dtype=np.int32).ravel())
             return len(_pack_bufs) - 1
 
-        def _conv_stage(plan, n_chunks=1):
+        def _conv_stage(plan, n_chunks=1, pad_to=None):
             B = plan.rows.shape[0]
             gc = getattr(plan, "group_c", 1)
             # padding must keep parent-major groups whole per shard and per
-            # sequential slab (lp_pos[::gc] indexing relies on alignment)
+            # sequential slab (lp_pos[::gc] indexing relies on alignment);
+            # pad_to forces a parent-aligned level to the parent's padded B
             mult = block_multiple * n_chunks * gc
-            pad = (-B) % mult  # whole dummy blocks for even sharding/chunking
+            pad = (-B) % mult if pad_to is None else pad_to - B
+            # whole dummy blocks for even sharding/chunking
             nb = sched.n_blocks
 
             def _padB(a, fill):
@@ -174,10 +229,12 @@ class ModelStatic:
             )
 
         staged = [
-            _conv_stage(p, nc) for p, nc in zip(sched.levels, self.level_chunks)
+            _conv_stage(p, nc, padded_B[t])
+            for t, (p, nc) in enumerate(zip(sched.levels, self.level_chunks))
         ]
         staged_pred = [
-            _conv_stage(p, nc) for p, nc in zip(pred_buckets, self.pred_chunks)
+            _conv_stage(p, nc, pt)
+            for p, nc, pt in zip(pred_buckets, self.pred_chunks, pred_pad_to)
         ]
         packed = jnp.asarray(np.concatenate(_pack_bufs), dtype=jnp.int32)
         offs = np.cumsum([0] + [b.size for b in _pack_bufs])
@@ -306,7 +363,7 @@ _MS_ARRAY_FIELDS = (
 _MS_STATIC_FIELDS = (
     "spec", "dtype", "use_pallas", "n", "p", "q", "limited_tree",
     "level_chunks", "pred_chunks", "level_is_ref", "level_group_c",
-    "level_lp", "level_segs",
+    "level_aligned", "pred_aligned", "level_lp", "level_segs",
     "pred_lp", "serves_as_parent", "last_consumer", "seg_level",
     "pred_in_carry",
 )
@@ -339,7 +396,8 @@ def _ms_unflatten(static, arrays):
     ms.anc_pos = arrays[len(_MS_ARRAY_FIELDS) + 1]
     for f, v in zip(_MS_STATIC_FIELDS, static):
         if f in ("level_chunks", "pred_chunks", "level_is_ref",
-                 "level_group_c", "level_lp", "serves_as_parent"):
+                 "level_group_c", "level_aligned", "pred_aligned",
+                 "level_lp", "serves_as_parent"):
             v = list(v)
         elif f == "level_segs":
             v = [(list(a), list(b)) for a, b in v]
@@ -354,7 +412,8 @@ def _ms_unflatten(static, arrays):
 jax.tree_util.register_pytree_node(ModelStatic, _ms_flatten, _ms_unflatten)
 
 
-def _apply_parent_factor(parent_joint, lp_pos, Kxc, gc: int):
+def _apply_parent_factor(parent_joint, lp_pos, Kxc, gc: int,
+                         aligned: bool = False):
     """Conditional-mean machinery M = LAi Kxc, H = Kxc' LAi' LAi.
 
     With ``gc > 1`` the level is parent-major in groups of gc children
@@ -366,7 +425,9 @@ def _apply_parent_factor(parent_joint, lp_pos, Kxc, gc: int):
     """
     B, P, S = Kxc.shape
     if gc <= 1:
-        LAi = parent_joint[lp_pos]  # (B, P, P)
+        # aligned levels (schedule._align_to_parent) match the factor batch
+        # element-for-element: straight stream, no row gather
+        LAi = parent_joint if aligned else parent_joint[lp_pos]  # (B, P, P)
         M = LAi @ Kxc  # (B, P, S)
         H = jnp.einsum("bps,bpq->bsq", M, LAi)  # Kxc' LAi' LAi
         return M, H, LAi
@@ -462,12 +523,13 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
         P = lvl_full.prows.shape[1]
         is_ref = ms.level_is_ref[t]
         gc = ms.level_group_c[t]
+        al = ms.level_aligned[t]
         emit_joint = is_ref and ms.serves_as_parent[t]
         parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
         prev_t = quad_prev[t] if quad_prev is not None else None
 
         def level_body(carry, args, P=P, is_ref=is_ref, emit_joint=emit_joint,
-                       parent_joint=parent_joint, gc=gc):
+                       parent_joint=parent_joint, gc=gc, al=al):
             logdet, ok, qn, qc = carry
             lvl, prev = args
             B, S = lvl.rows.shape
@@ -482,7 +544,7 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                 Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
                 Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
                 M, H, LAi = _apply_parent_factor(
-                    parent_joint, lvl.lp_pos, Kxc, gc
+                    parent_joint, lvl.lp_pos, Kxc, gc, al
                 )
             else:
                 Kxc = M = LAi = None
@@ -597,16 +659,14 @@ def _pred_operators(ms: ModelStatic, params, parent_joint) -> tuple:
     """Per-bucket (H, r) conditional operators for the prediction blocks,
     given the deepest-reference joint inverse-Cholesky factors."""
 
-    def pred_body(carry, lvl):
+    def pred_body(carry, lvl, al=False):
         cxr = ms.coords[lvl.rows]
         mvr = ms.mv[lvl.rows]
         cxp = ms.coords[lvl.prows]
         mvp = ms.mv[lvl.prows]
         Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
         Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
-        LAi = parent_joint[lvl.lp_pos]
-        M = LAi @ Kxc
-        H = jnp.einsum("bps,bpq->bsq", M, LAi)
+        M, H, _ = _apply_parent_factor(parent_joint, lvl.lp_pos, Kxc, 1, al)
         kdiag = jax.vmap(
             lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
         )(cxr, mvr)
@@ -616,8 +676,8 @@ def _pred_operators(ms: ModelStatic, params, parent_joint) -> tuple:
         return carry, (H, r)
 
     out = []
-    for plvl, nc in zip(ms.pred_arrays, ms.pred_chunks):
-        _, (Hp, rp) = _run_level(plvl, nc, None, pred_body)
+    for plvl, nc, al in zip(ms.pred_arrays, ms.pred_chunks, ms.pred_aligned):
+        _, (Hp, rp) = _run_level(plvl, nc, None, partial(pred_body, al=al))
         out.append(LevelData(H=Hp, prec=rp))  # prec slot holds variance r
     return tuple(out)
 
@@ -859,16 +919,14 @@ def predict_recompute(ms: ModelStatic, theta, w, key):
     parent_joint = _joints_upto(ms, params, ms.pred_lp)
     bigz = jax.random.normal(key, (ms.n + 1,), dtype=ms.dtype)
 
-    def body(w, lvl):
+    def body(w, lvl, al=False):
         cxr = ms.coords[lvl.rows]
         mvr = ms.mv[lvl.rows]
         cxp = ms.coords[lvl.prows]
         mvp = ms.mv[lvl.prows]
         Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
         Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
-        LAi = parent_joint[lvl.lp_pos]
-        M = LAi @ Kxc
-        H = jnp.einsum("bps,bpq->bsq", M, LAi)
+        M, H, _ = _apply_parent_factor(parent_joint, lvl.lp_pos, Kxc, 1, al)
         kdiag = jax.vmap(
             lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
         )(cxr, mvr)
@@ -878,8 +936,8 @@ def predict_recompute(ms: ModelStatic, theta, w, key):
         wu = jnp.where(lvl.rmask, mean + jnp.sqrt(r) * bigz[lvl.rows], 0.0)
         return w.at[lvl.rows].set(wu), None
 
-    for plvl, nc in zip(ms.pred_arrays, ms.pred_chunks):
-        w, _ = _run_level(plvl, nc, w, body)
+    for plvl, nc, al in zip(ms.pred_arrays, ms.pred_chunks, ms.pred_aligned):
+        w, _ = _run_level(plvl, nc, w, partial(body, al=al))
     return w
 
 

@@ -50,6 +50,12 @@ class LevelPlan:
     # group_c children per parent (dummy-padded), so the (P, P) parent joint
     # factor is gathered once per *parent* instead of once per child
     group_c: int = 1
+    # thin/pred levels only: one block per parent batch POSITION (empty slots
+    # padded), so the parent joint factor needs no gather at all -- the
+    # kernels read the factor array directly, element-aligned.  On a sharded
+    # mesh this also removes the cross-shard gather (parent and child shard
+    # boundaries coincide).
+    aligned: bool = False
 
     @property
     def B(self) -> int:
@@ -168,6 +174,49 @@ def _merge_by_ancestor(plan: LevelPlan, n: int, nb: int) -> LevelPlan:
     )
 
 
+def _align_to_parent(plan: LevelPlan, n: int, nb: int, parent_B: int,
+                     src_rows: np.ndarray,
+                     max_waste: float = 3.0) -> LevelPlan | None:
+    """Lay an ancestor-merged thin/pred level out with exactly one block per
+    PARENT batch position (empty slots for parents without children here).
+
+    The level's padded parent layouts then coincide element-for-element with
+    the parent level's joint-factor batch, so the sweep reads the (P, P)
+    factors as a straight stream instead of a row gather (measured 97 vs
+    405 GB/s on the target chip), and block-axis sharding needs no
+    cross-device gather.  Requires ``plan`` already merged by ancestor
+    (unique lp_pos per block).  Returns None when the empty-slot padding
+    would exceed ``max_waste`` x the real row count.
+    """
+    if plan.P == 0 or plan.is_ref:
+        return None
+    sizes = (plan.rows < n).sum(axis=1)
+    S = int(plan.rows.shape[1])
+    real = int(sizes.sum())
+    if real == 0 or parent_B * S > max_waste * real:
+        return None
+    if len(np.unique(plan.lp_pos)) != plan.B:
+        return None  # not merged; alignment needs one block per ancestor
+    bid = plan.block_ids.reshape(plan.B, -1)
+    M = bid.shape[1]
+    rows = np.full((parent_B, S), n, dtype=np.int64)
+    ids = np.full((parent_B, M), nb, dtype=np.int64)
+    anc = np.full((parent_B, plan.anc_blocks.shape[1]), nb, dtype=np.int64)
+    rows[plan.lp_pos] = plan.rows
+    ids[plan.lp_pos] = bid
+    anc[plan.lp_pos] = plan.anc_blocks
+    return LevelPlan(
+        res=plan.res, is_ref=False,
+        block_ids=ids, rows=rows,
+        prows=src_rows.copy(),
+        lp_pos=np.arange(parent_B, dtype=np.int64),
+        lp_level=plan.lp_level,
+        anc_blocks=anc,
+        seg_off=list(plan.seg_off), seg_size=list(plan.seg_size),
+        aligned=True,
+    )
+
+
 def _group_ref_plan(plan: LevelPlan, n: int, nb: int,
                     max_waste: float = 1.15) -> LevelPlan:
     """Reorder a reference level parent-major and pad each parent's children
@@ -259,6 +308,7 @@ def _bucket_plan(plan: LevelPlan, n: int, max_buckets: int = 4,
 def build_schedule(
     tree: TreeLevels, limited_tree: bool = False, validate: bool | None = None,
     bucket_thin: bool = True, merge_thin: bool = True, group_ref: bool = True,
+    align_thin: bool = True, align_min_p: int = 128,
 ) -> Schedule:
     n = tree.n_rows
     nb = tree.n_blocks
@@ -374,16 +424,38 @@ def build_schedule(
             # long-tailed leftover 1-NN level)
             if merge_thin:
                 plan = _merge_by_ancestor(plan, n, nb)
-            buckets = _bucket_plan(plan, n) if bucket_thin else [plan]
+            aplan = None
+            if (align_thin and merge_thin and plan.P >= align_min_p
+                    and plan.lp_level >= 0):
+                aplan = _align_to_parent(
+                    plan, n, nb, sweep_levels[plan.lp_level].B, src_rows
+                )
+            if aplan is not None:
+                buckets = [aplan]
+            else:
+                buckets = _bucket_plan(plan, n) if bucket_thin else [plan]
             sweep_levels.extend(buckets)
             t_sweep += len(buckets)
 
-    if pred_plan is not None and merge_thin:
-        pred_plan = _merge_by_ancestor(pred_plan, n, nb)
-    pred_buckets = (
-        (_bucket_plan(pred_plan, n) if bucket_thin else [pred_plan])
-        if pred_plan is not None else []
-    )
+    pred_buckets = []
+    if pred_plan is not None:
+        if merge_thin:
+            pred_plan = _merge_by_ancestor(pred_plan, n, nb)
+        aplan = None
+        if (align_thin and merge_thin and pred_plan.P >= align_min_p
+                and pred_plan.lp_level >= 0):
+            lp = pred_plan.lp_level
+            src = (sweep_levels[lp].rows if limited_tree else joint_rows[lp])
+            aplan = _align_to_parent(
+                pred_plan, n, nb, sweep_levels[lp].B, src
+            )
+        if aplan is not None:
+            pred_plan = aplan
+            pred_buckets = [aplan]
+        else:
+            pred_buckets = (
+                _bucket_plan(pred_plan, n) if bucket_thin else [pred_plan]
+            )
     Smax = max(p.S for p in sweep_levels)
     return Schedule(
         n=n, n_blocks=nb, Smax=Smax, levels=sweep_levels, pred=pred_plan,

@@ -14,7 +14,8 @@ from spamtree_tpu.tree.partition import make_tree
 from spamtree_tpu.tree.schedule import build_schedule
 
 
-def _pair(n=2400, q=2, seed=9, merge=(False, False), bucket=(False, True)):
+def _pair(n=2400, q=2, seed=9, merge=(False, False), bucket=(False, True),
+          align=(False, False)):
     rng = np.random.default_rng(seed)
     base = rng.uniform(size=(n // q, 2))
     coords = np.repeat(base, q, axis=0)
@@ -30,8 +31,9 @@ def _pair(n=2400, q=2, seed=9, merge=(False, False), bucket=(False, True)):
                      rng=np.random.default_rng(seed))
     tspec = make_theta_spec(2, q)
     out = []
-    for bk, mg in zip(bucket, merge):
-        sched = build_schedule(tree, bucket_thin=bk, merge_thin=mg)
+    for bk, mg, al in zip(bucket, merge, align):
+        sched = build_schedule(tree, bucket_thin=bk, merge_thin=mg,
+                               align_thin=al, align_min_p=0)
         out.append(ModelStatic(sched, coords, mv, y, X, tspec.spec,
                                dtype=jnp.float64))
     return out[0], out[1], tspec
@@ -114,6 +116,31 @@ def test_merged_step_matches():
         sum(l.rows.shape[0] for l in ms1.levels)
         < sum(l.rows.shape[0] for l in ms0.levels)
     )  # merging must actually regroup blocks (else vacuous)
+    cfg = MCMCConfig(keep=2, burn=1)
+    key = jax.random.PRNGKey(3)
+    outs = []
+    for ms in (ms0, ms1):
+        st = init_state(ms, tspec.bounds, tspec.start, cfg=cfg, seed=0)
+        step = make_step(ms, tspec.bounds, cfg)
+        out = jax.jit(lambda s, k: step(s, k, True))(st, key)
+        outs.append(out)
+    np.testing.assert_allclose(np.asarray(outs[1].w), np.asarray(outs[0].w),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outs[1].theta),
+                               np.asarray(outs[0].theta), rtol=1e-10)
+    np.testing.assert_allclose(float(outs[1].logdetCi),
+                               float(outs[0].logdetCi), rtol=1e-10)
+
+
+def test_aligned_step_matches():
+    """Parent-aligned thin/pred layout (one block per parent slot, factor
+    read as a stream instead of a gather) is a pure layout change: a full
+    transition is bit-for-bit identical to the merged gather layout."""
+    ms0, ms1, tspec = _pair(merge=(True, True), bucket=(True, True),
+                            align=(False, True))
+    assert any(ms1.level_aligned) or any(ms1.pred_aligned), (
+        "alignment did not activate; test is vacuous"
+    )
     cfg = MCMCConfig(keep=2, burn=1)
     key = jax.random.PRNGKey(3)
     outs = []

@@ -81,6 +81,8 @@ def test_schedule_layout():
         assert p.anc_blocks.shape[1] == len(p.seg_off) == len(p.seg_size)
         for i in range(p.B):
             for a, (o, s) in enumerate(zip(p.seg_off, p.seg_size)):
+                if p.anc_blocks[i, a] >= tree.n_blocks:
+                    continue  # dummy/empty slot (group padding or alignment)
                 rows_a = tree.block_rows[p.anc_blocks[i, a]]
                 seg = p.prows[i, o : o + s]
                 assert np.array_equal(seg[: len(rows_a)], rows_a)
