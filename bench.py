@@ -141,7 +141,7 @@ def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
         ips=ips, rmspe=rmspe, sd_y=sd,
         accept=out["accept_ratio"], mcmc_time=out["mcmc_time"],
         setup_time=time.time() - t_setup - out["mcmc_time"],
-        tflops_per_sec=tflops,
+        tflops_per_sec=tflops, n_chains=n_chains,
     )
 
 
@@ -189,6 +189,12 @@ def main():
         "mcmc_time_s": round(r["mcmc_time"], 2),
         "setup_time_s": round(r["setup_time"], 2),
         "tflops_per_sec": round(r["tflops_per_sec"], 4),
+        # n_chains > 1 runs independent chains vmapped in ONE program (each
+        # "iteration" advances every chain), so aggregate sampling
+        # throughput is ips * n_chains
+        **({"n_chains": r["n_chains"],
+            "agg_chain_iters_per_sec": round(r["ips"] * r["n_chains"], 3)}
+           if r["n_chains"] > 1 else {}),
     }))
 
 
