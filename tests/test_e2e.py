@@ -51,6 +51,27 @@ def test_readme_config_recovers():
     assert 0.01 < out["tausq_mcmc"].mean() < 1.0
 
 
+def test_yhat_reconstruction_moments():
+    """yhat is rebuilt host-side as X beta + w + tau z (mcmc._yhat_host);
+    check the reconstruction against its definition: residual yhat - w - XB
+    has ~N(0, tausq) per-draw moments (reference semantics,
+    spamtree_fit.cpp:384)."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=11)
+    out = spamtree(
+        y, X, coords, mcmc=dict(keep=60, burn=60, thin=1),
+        dtype=jnp.float64, seed=3,
+    )
+    order = out["order"]
+    Xs = X[order]
+    # per kept draw k: residual_k = yhat_k - w_k - X beta_k
+    beta = np.moveaxis(out["beta_mcmc"], 1, 0)[:, :, 0]  # (keep, p)
+    resid = out["yhat_mcmc"] - out["w_mcmc"] - beta @ Xs.T
+    tau = out["tausq_mcmc"][0]  # (keep,)
+    z = resid / np.sqrt(tau)[:, None]
+    assert abs(z.mean()) < 0.02, z.mean()
+    assert abs(z.std() - 1.0) < 0.02, z.std()
+
+
 def test_debug_flags_fix_samplers():
     """Sampler ablation flags (reference: debug list, spamtree_fit.R:18-20):
     disabling a sampler freezes its state."""
