@@ -155,6 +155,7 @@ def main():
     ap.add_argument("--n_chains", type=int, default=1)
     ap.add_argument("--n_per_q", type=int, default=None,
                     help="override config-3 size (legacy flag)")
+    ap.add_argument("--verbose", type=int, default=0)
     args = ap.parse_args()
 
     if args.n_per_q is not None:
@@ -166,7 +167,7 @@ def main():
 
     r = run_config(args.config, keep=args.keep, burn=args.burn,
                    thin=args.thin, cell_size=args.cell_size,
-                   n_chains=args.n_chains)
+                   n_chains=args.n_chains, verbose=args.verbose)
 
     # No measured CPU baseline exists (reference publishes none; R absent
     # here).  Extrapolate the CRAN bound: >=120 it/s at n=225 on 1 thread,
