@@ -118,7 +118,7 @@ def spamtree(
 
     mcmc = dict(keep=1000, burn=0, thin=1) | (mcmc or {})
     settings = dict(adapting=True, mcmcsd=None, curvature_sd=True,
-                    ram_reference_warmup=False) | (settings or {})
+                    ram_reference_warmup=False, const_model=None) | (settings or {})
     prior = dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
         beta=None, tausq=None, theta=None,
@@ -232,12 +232,13 @@ def spamtree(
         res = run_mcmc_chains(ms, tspec.bounds, cfg, states, verbose=verbose,
                               precompile=precompile,
                               checkpoint_path=checkpoint_path,
-                              sink_dir=sink_dir)
+                              sink_dir=sink_dir,
+                              const_model=settings["const_model"])
     else:
         state = _mk_state(seed)
         res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
                        precompile=precompile, checkpoint_path=checkpoint_path,
-                       sink_dir=sink_dir)
+                       sink_dir=sink_dir, const_model=settings["const_model"])
 
     out = {
         "coords": cs,

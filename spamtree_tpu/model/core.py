@@ -342,6 +342,17 @@ class ModelStatic:
                     _assign_np[k].shape
                 )
 
+        # total device bytes of the model arrays: used to decide whether the
+        # samplers may close over the model (baking every array into the
+        # program as constants lets XLA fold the static index arrays and pick
+        # better layouts -- measured 39 -> 31 ms/iteration at n=1e5 -- but
+        # makes program size O(n), which breaks compilation at n ~ 1e6)
+        leaves, _ = _ms_flatten(self)
+        self.approx_device_bytes = float(sum(
+            a.size * a.dtype.itemsize
+            for a in jax.tree.leaves(leaves) if hasattr(a, "size")
+        ))
+
 
     # mv id per padded row index, sentinel -> margin 0 (always masked out)
     def tausq_long(self, tausq_inv):

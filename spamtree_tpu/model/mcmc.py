@@ -210,6 +210,7 @@ def run_mcmc(
     precompile: bool = False,
     checkpoint_path: str | None = None,
     sink_dir: str | None = None,
+    const_model: bool | None = None,
 ):
     """Burn + chunked keep phases; returns dict of host-side sample arrays.
 
@@ -219,19 +220,31 @@ def run_mcmc(
     after the burn phase and after every kept chunk (resume via
     utils.checkpoint.load_state).
     """
+    import os
+
     n = ms.n
 
-    # ms rides through jit as a pytree ARGUMENT (not a closure): closed-over
-    # arrays are inlined into the lowered module as literal constants, making
-    # program size O(n).  The carry (leveldata factors dominate: ~GBs at
-    # n=1e6) is donated so the old state's buffers are reused in place.
-    @partial(jax.jit, donate_argnums=1)
-    def burn_scan(m, s, keys):
+    # Two ways to hand the model to XLA.  const_model=True closes over ms:
+    # every model array is inlined into the program as a literal constant,
+    # letting XLA fold the static index arrays and choose layouts freely
+    # (measured 39 -> 31 ms/iteration at n=1e5) -- but program size becomes
+    # O(n), which blows compile time and the remote-compile transport at
+    # n ~ 1e6.  const_model=False passes ms as a pytree ARGUMENT, keeping
+    # the program O(levels).  Default: constants while the model arrays fit
+    # the SPAMTREE_CONST_LIMIT budget (128 MB).  The carry (leveldata
+    # factors dominate: ~GBs at n=1e6) is donated either way so the old
+    # state's buffers are reused in place.
+    if const_model is None:
+        limit = float(os.environ.get("SPAMTREE_CONST_LIMIT", 128e6))
+        const_model = (
+            getattr(ms, "approx_device_bytes", float("inf")) <= limit
+        )
+
+    def _burn_body(m, s, keys):
         st = make_step(m, bounds, cfg)
         return jax.lax.scan(lambda ss, k: (st(ss, k, False), None), s, keys)[0]
 
-    @partial(jax.jit, donate_argnums=1)
-    def keep_scan(m, s, keys):
+    def _keep_body(m, s, keys):
         st = make_step(m, bounds, cfg)
 
         # yhat = XB + w + tau*z is reconstructed on the HOST from (w, beta,
@@ -246,6 +259,20 @@ def run_mcmc(
             return s, out
 
         return jax.lax.scan(keep_body, s, keys)
+
+    if const_model:
+        _burn_c = partial(jax.jit, donate_argnums=0)(partial(_burn_body, ms))
+        _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
+        burn_scan = lambda m, s, keys: _burn_c(s, keys)
+        keep_scan = lambda m, s, keys: _keep_c(s, keys)
+        _lower_burn = lambda m, s, keys: _burn_c.lower(s, keys)
+        _lower_keep = lambda m, s, keys: _keep_c.lower(s, keys)
+        _wrap = lambda ex: (lambda m, s, keys: ex(s, keys))
+    else:
+        burn_scan = partial(jax.jit, donate_argnums=1)(_burn_body)
+        keep_scan = partial(jax.jit, donate_argnums=1)(_keep_body)
+        _lower_burn, _lower_keep = burn_scan.lower, keep_scan.lower
+        _wrap = lambda ex: ex
 
     # host-side data for the yhat reconstruction (one-time small fetches)
     X_h = np.asarray(ms.X)
@@ -267,33 +294,34 @@ def run_mcmc(
     # checkpointing mid-burn
     bc = min(cfg.burn_chunk, cfg.burn) if cfg.burn > 0 else 0
     burn_fn = burn_scan
+    keep_compiled = None
+    keep_chunk_flops = 0.0
     if precompile:
         # AOT-compile the scans so mcmc_time measures sampling, not XLA
         t_c = time.time()
         if bc > 0:
             dk = jax.random.split(jax.random.PRNGKey(0), bc)
-            burn_fn = burn_scan.lower(ms, state, dk).compile()
+            burn_fn = _wrap(_lower_burn(ms, state, dk).compile())
         m0 = min(cfg.chunk, cfg.keep)
         dk2 = jax.random.split(jax.random.PRNGKey(0), m0 * (cfg.thin + 1)).reshape(
             m0, cfg.thin + 1, 2
         )
-        keep_compiled = keep_scan.lower(ms, state, dk2).compile()
+        keep_exec = _lower_keep(ms, state, dk2).compile()
+        keep_compiled = _wrap(keep_exec)
         if verbose:
             print(f"[compile] {time.time()-t_c:.1f}s")
-    else:
-        keep_compiled = None
 
-    def _chunk_flops(ex):
-        """XLA's own flop count for one compiled keep chunk (m0 kept samples
-        x thin transitions each) -- used for honest MFU reporting."""
-        try:
-            ca = ex.cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            return float(ca.get("flops", 0.0))
-        except Exception:
-            return 0.0
+        def _chunk_flops(ex):
+            """XLA's own flop count for one compiled keep chunk (m0 kept
+            samples x thin transitions each) -- for honest MFU reporting."""
+            try:
+                ca = ex.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                return float(ca.get("flops", 0.0))
+            except Exception:
+                return 0.0
 
-    keep_chunk_flops = _chunk_flops(keep_compiled) if keep_compiled else 0.0
+        keep_chunk_flops = _chunk_flops(keep_exec)
 
     t0 = time.time()
     key = state.key
@@ -322,12 +350,20 @@ def run_mcmc(
             print(f"  tausq = {np.array2string(ts, precision=5)}")
         prev_acc, prev_prop, prev_t, prev_it = acc, prop, now, iters_done
 
+    import os as _os
+
+    _phase_dbg = bool(_os.environ.get("SPAMTREE_PHASE_DEBUG"))
     while burned < cfg.burn:
+        _tc = time.time()
         b = min(bc, cfg.burn - burned)
         key, sub = jax.random.split(key)
         bkeys = jax.random.split(sub, b)
         state = (burn_fn if b == bc else burn_scan)(ms, state, bkeys)
         burned += b
+        if _phase_dbg:
+            _f = float(jnp.sum(state.theta))  # force (lazy relay)
+            print(f"[dbg] burn chunk {burned}: {time.time()-_tc:.3f}s",
+                  flush=True)
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
@@ -444,6 +480,7 @@ def run_mcmc_chains(
     precompile: bool = False,
     checkpoint_path: str | None = None,
     sink_dir: str | None = None,
+    const_model: bool | None = None,
 ):
     """Run C independent chains in one program via vmap -- the multi-chain
     analog of ``run_mcmc`` with the same engineering: chunked burn (bounded
@@ -473,14 +510,23 @@ def run_mcmc_chains(
         spec = P(*([None] * (keys.ndim - 2) + ["chains", None]))
         return jax.device_put(keys, NamedSharding(mesh, spec))
 
-    @partial(jax.jit, donate_argnums=1)
-    def burn_scan(m, s, keys):  # keys (b, C, 2)
+    # see run_mcmc: closure-constant model when small and unsharded (a
+    # mesh-sharded model must stay a runtime argument)
+    if const_model is None:
+        import os
+
+        limit = float(os.environ.get("SPAMTREE_CONST_LIMIT", 128e6))
+        const_model = (
+            mesh is None
+            and getattr(ms, "approx_device_bytes", float("inf")) <= limit
+        )
+
+    def _burn_body(m, s, keys):  # keys (b, C, 2)
         st = make_step(m, bounds, cfg)
         vstep = jax.vmap(lambda ss, k: st(ss, k, False))
         return jax.lax.scan(lambda ss, k: (vstep(ss, k), None), s, keys)[0]
 
-    @partial(jax.jit, donate_argnums=1)
-    def keep_scan(m, s, keys):
+    def _keep_body(m, s, keys):
         st = make_step(m, bounds, cfg)
         vstep_b = jax.vmap(lambda ss, k: st(ss, k, False))
         vstep_p = jax.vmap(lambda ss, k: st(ss, k, True))
@@ -493,6 +539,20 @@ def run_mcmc_chains(
             return s, (s.w[:, :n], s.beta, 1.0 / s.tausq_inv, s.theta)
 
         return jax.lax.scan(keep_body, s, keys)
+
+    if const_model:
+        _burn_c = partial(jax.jit, donate_argnums=0)(partial(_burn_body, ms))
+        _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
+        burn_scan = lambda m, s, keys: _burn_c(s, keys)
+        keep_scan = lambda m, s, keys: _keep_c(s, keys)
+        _lower_burn = lambda m, s, keys: _burn_c.lower(s, keys)
+        _lower_keep = lambda m, s, keys: _keep_c.lower(s, keys)
+        _wrap = lambda ex: (lambda m, s, keys: ex(s, keys))
+    else:
+        burn_scan = partial(jax.jit, donate_argnums=1)(_burn_body)
+        keep_scan = partial(jax.jit, donate_argnums=1)(_keep_body)
+        _lower_burn, _lower_keep = burn_scan.lower, keep_scan.lower
+        _wrap = lambda ex: ex
 
     X_h = np.asarray(ms.X)
     mv_h = np.asarray(ms.mv[:n])
@@ -531,10 +591,12 @@ def run_mcmc_chains(
         ck = jnp.asarray(np.asarray(states.key))
         if bc > 0:
             _, dk = _next_keys_burn(ck, bc)
-            burn_fn = burn_scan.lower(ms, states, _shard_keys(dk)).compile()
+            burn_fn = _wrap(_lower_burn(ms, states, _shard_keys(dk)).compile())
         m0 = min(cfg.chunk, cfg.keep)
         _, dk2 = _next_keys_keep(ck, m0)
-        keep_compiled = keep_scan.lower(ms, states, _shard_keys(dk2)).compile()
+        keep_compiled = _wrap(
+            _lower_keep(ms, states, _shard_keys(dk2)).compile()
+        )
         if verbose:
             print(f"[compile] {time.time()-t_c:.1f}s")
 
