@@ -306,7 +306,11 @@ class ModelStatic:
         for t, lvlj in enumerate(self.levels):
             plan = sched.levels[t]
             segs = []
-            anc = np.asarray(lvlj.anc_blocks)  # padded child batch
+            # padded child anc batch from the HOST staging buffers: pulling
+            # the device copy back through the ~20 MB/s relay both wasted
+            # setup time and (observed once at n=1e6) hit a worker crash
+            idx = staged[t]["anc_blocks"]
+            anc = _pack_bufs[idx].reshape(_pack_meta[idx])
             for a in range(len(plan.seg_off)):
                 anc_a = anc[:, a]
                 real = anc_a[anc_a < sched.n_blocks]
