@@ -22,6 +22,8 @@ locations directly and does not reproduce it.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -30,6 +32,25 @@ from spamtree_tpu.model.mcmc import MCMCConfig, init_state, run_mcmc
 from spamtree_tpu.model.params import make_theta_spec
 from spamtree_tpu.tree.partition import make_tree
 from spamtree_tpu.tree.schedule import build_schedule
+
+
+def _build_mesh(devices, n_chains):
+    """chains x blocks mesh over the requested devices.
+
+    The analog of the reference's one-knob parallelism (``num_threads``,
+    reference: src/spamtree_fit.cpp:57-59): chains shard as pure data
+    parallelism when they divide the device count, the rest of the devices
+    shard the within-level block batches (the OpenMP-loop equivalent).
+    """
+    import jax
+    from spamtree_tpu.parallel.sharding import make_mesh
+
+    if devices in ("all", "auto"):
+        devices = jax.devices()
+    n_dev = len(devices)
+    chains_ax = n_chains if (n_chains > 1 and n_dev % n_chains == 0) else 1
+    return make_mesh(n_chains=chains_ax, n_blocks_shards=n_dev // chains_ax,
+                     devices=devices)
 
 
 def spamtree(
@@ -58,6 +79,8 @@ def spamtree(
     n_chains=1,
     checkpoint_path=None,
     sink_dir=None,
+    devices=None,
+    mesh=None,
 ):
     """Fit a SpamTree model: fit + prediction in one MCMC run.
 
@@ -98,6 +121,14 @@ def spamtree(
         chain axis after the sample axis).
     checkpoint_path / sink_dir : full-state checkpoint file; directory for
         streaming w/yhat draws to disk instead of host RAM (n ~ 1e6).
+    devices / mesh : multi-device execution, the analog of the reference's
+        ``num_threads`` knob (spamtree_fit.cpp:57-59).  ``devices="all"``
+        (or a device list) builds a chains x blocks ``jax.sharding.Mesh``
+        over them and shards the per-level block batches (and the chains,
+        when n_chains divides the device count); pass ``mesh=`` to supply
+        your own.  On one device this is a no-op; the sharded math is
+        bit-identical to unsharded (tests/test_sharding.py).  Default None
+        runs on the default device.
 
     Returns a dict with w_mcmc, yhat_mcmc, beta_mcmc, tausq_mcmc, theta_mcmc,
     paramsd, mcmc_time, accept_ratio, coordsinfo and the order mapping
@@ -118,7 +149,8 @@ def spamtree(
 
     mcmc = dict(keep=1000, burn=0, thin=1) | (mcmc or {})
     settings = dict(adapting=True, mcmcsd=None, curvature_sd=True,
-                    ram_reference_warmup=False, const_model=None) | (settings or {})
+                    ram_reference_warmup=False, const_model=None,
+                    collect="all", wire_dtype=None) | (settings or {})
     prior = dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
         beta=None, tausq=None, theta=None,
@@ -141,7 +173,9 @@ def spamtree(
     else:
         axis_size = np.asarray(cell_size)
 
+    tb = {}  # setup breakdown: seconds per pre-MCMC phase (bench/JSON)
     rng = np.random.default_rng(seed)
+    t_ = time.time()
     tree = make_tree(
         cs, na_which, mvs,
         axis_cell_size=axis_size, K=K, start_level=start_level,
@@ -151,7 +185,10 @@ def spamtree(
         cherrypick_group_locations=cherrypick_group_locations,
         mvbias=mvbias, rng=rng, verbose=verbose,
     )
+    tb["tree_s"] = round(time.time() - t_, 2)
+    t_ = time.time()
     sched = build_schedule(tree, limited_tree=limited_tree)
+    tb["schedule_s"] = round(time.time() - t_, 2)
 
     start_theta = starting["theta"]
     if start_theta is None:
@@ -171,22 +208,37 @@ def spamtree(
         start_theta=start_theta,
     )
 
-    ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=dtype)
-    if settings["mcmcsd"] is None:
-        if settings["curvature_sd"] and debug["sample_theta"]:
-            # per-dimension curvature-scaled initial proposal covariance: the
-            # rank-1 RAM adapter is slow to learn per-dimension scales in
-            # high-dim theta (15 dims at q=3), which froze round-1 chains at
-            # 2-4% acceptance; a finite-difference Fisher diagonal at theta0
-            # costs ~2*nt sweeps and starts RAM at the right metric
-            from spamtree_tpu.model.tuning import curvature_proposal_sd
+    if mesh is None and devices is not None:
+        mesh = _build_mesh(devices, n_chains)
+    block_multiple = 1 if mesh is None else mesh.shape["blocks"]
 
-            settings["mcmcsd"] = curvature_proposal_sd(
-                ms, tspec.bounds, tspec.start,
-                start_tausq=(0.1 if starting["tausq"] is None
-                             else float(starting["tausq"])),
-                seed=seed,
-            )
+    t_ = time.time()
+    ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=dtype,
+                     block_multiple=block_multiple)
+    if mesh is not None:
+        from spamtree_tpu.parallel.sharding import shard_model
+
+        ms = shard_model(ms, mesh)
+    tb["stage_s"] = round(time.time() - t_, 2)
+
+    # ONE compiled pre-MCMC program (tuning.prepare_chain): the initial
+    # likelihood sweep plus, when curvature scaling is on, the w-warm Gibbs
+    # sweeps and the finite-difference Fisher-diagonal batch.  The rank-1 RAM
+    # adapter is slow to learn per-dimension scales in high-dim theta (15
+    # dims at q=3), which froze round-1 chains at 2-4% acceptance; the
+    # curvature diagonal starts RAM at the right metric for ~2*nt sweeps.
+    do_curv = bool(settings["mcmcsd"] is None and settings["curvature_sd"]
+                   and debug["sample_theta"])
+    from spamtree_tpu.model.tuning import curvature_sd_from_lls, prepare_chain
+
+    start_tausq = 0.1 if starting["tausq"] is None else float(starting["tausq"])
+    precomputed, lls = prepare_chain(
+        ms, tspec.bounds, tspec.start, do_curvature=do_curv,
+        start_tausq=start_tausq, seed=seed, timings=tb,
+    )
+    if settings["mcmcsd"] is None:
+        if do_curv:
+            settings["mcmcsd"] = curvature_sd_from_lls(lls, tspec.n_theta)
             if verbose:
                 d = np.sqrt(np.diag(settings["mcmcsd"]))
                 print(f"[tune] curvature proposal sd: {np.array2string(d, precision=4)}")
@@ -209,17 +261,20 @@ def spamtree(
         sample_predicts=debug["sample_predicts"],
         ram_reference_warmup=settings["ram_reference_warmup"],
         theta_prior=prior["theta"],
+        collect=settings["collect"], wire_dtype=settings["wire_dtype"],
     )
     start_w = starting["w"]
     if start_w is not None:
         start_w = np.asarray(start_w).reshape(-1)[order]
     def _mk_state(sd):
+        # the initial likelihood sweep already ran inside prepare_chain --
+        # every chain starts from the same theta, so they share it
         return init_state(
             ms, tspec.bounds, tspec.start,
             start_beta=starting["beta"],
-            start_tausq=(0.1 if starting["tausq"] is None else float(starting["tausq"])),
+            start_tausq=start_tausq,
             start_w=start_w,
-            cfg=cfg, seed=sd,
+            cfg=cfg, seed=sd, precomputed=precomputed,
         )
 
     if n_chains > 1:
@@ -233,12 +288,15 @@ def spamtree(
                               precompile=precompile,
                               checkpoint_path=checkpoint_path,
                               sink_dir=sink_dir,
-                              const_model=settings["const_model"])
+                              const_model=settings["const_model"],
+                              mesh=mesh)
     else:
         state = _mk_state(seed)
         res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
                        precompile=precompile, checkpoint_path=checkpoint_path,
-                       sink_dir=sink_dir, const_model=settings["const_model"])
+                       sink_dir=sink_dir, const_model=settings["const_model"],
+                       mesh=mesh)
+    tb["keep_compile_s"] = res.get("compile_time_s", 0.0)
 
     out = {
         "coords": cs,
@@ -262,10 +320,19 @@ def spamtree(
         "paramsd": res["paramsd"],
         "mcmc_time": res["mcmc_time"],
         "accept_ratio": res["accept_ratio"],
+        "burn_actual": res.get("burn_actual", mcmc["burn"]),
+        "setup_breakdown": tb,
         "flops_per_kept_sample": res.get("flops_per_kept_sample"),
+        "bytes_per_kept_sample": res.get("bytes_per_kept_sample"),
         "block_ct_obs": tree.block_ct_obs,
         "tree": tree,
         "schedule": sched,
         "theta_bounds": tspec.bounds,
     }
+    if settings["collect"] == "summary":
+        # summary mode: device-accumulated posterior moments instead of the
+        # full (keep, n) draw arrays (w_mcmc/yhat_mcmc come back empty)
+        for k in ("w_mean", "w_var", "yhat_mean", "yhat_var",
+                  "summary_count"):
+            out[k] = res[k]
     return out

@@ -61,8 +61,22 @@ class MCMCConfig(NamedTuple):
     sample_w: bool = True
     sample_predicts: bool = True
     chunk: int = 50  # kept samples per device->host transfer chunk
-    burn_chunk: int = 100  # burn iterations per device call (bounds call time)
+    # deprecated: burn now runs through the SAME compiled program as keep
+    # (chunks of chunk*thin iterations with prediction gated off at runtime),
+    # so there is exactly one minutes-long XLA compile per run; burn_chunk is
+    # accepted for API compatibility but ignored
+    burn_chunk: int = 100
     ram_reference_warmup: bool = False  # reproduce the reference's RAM warmup
+    # "all" stores every kept draw of w/yhat; "summary" accumulates running
+    # mean/variance on DEVICE and ships only O(n) totals at the end -- the
+    # large-n mode (keep*n draws never cross the ~20 MB/s device->host link).
+    # beta/tausq/theta draws are always stored (they are tiny).
+    collect: str = "all"
+    # device->host wire format for the w draws.  None = auto: float16 when
+    # the model runs float32 (the relay link is the bottleneck at large n;
+    # f16's 2^-11 relative error is far below posterior noise), no cast
+    # otherwise.  Pass "none" to disable or an explicit dtype name.
+    wire_dtype: object = None
     # informative theta prior: callable logp(theta) or per-dim spec list (see
     # model/priors.py).  None = flat, the reference's effective behavior (it
     # computes calc_prior_logratio but never adds it; spamtree_fit.cpp:239-246)
@@ -78,6 +92,7 @@ def init_state(
     start_w: np.ndarray | None = None,
     cfg: MCMCConfig = MCMCConfig(),
     seed: int = 0,
+    precomputed: tuple | None = None,
 ) -> MCMCState:
     n, p, q = ms.n, ms.p, ms.q
     nt = len(start_theta)
@@ -99,9 +114,14 @@ def init_state(
         raise ValueError(
             f"starting theta outside its bounds: theta={st}, bounds={b.tolist()}"
         )
-    leveldata, pred_data, logdet, ok = jax.jit(
-        lambda m, th, ww: sweep(m, th, ww)
-    )(ms, theta, w)
+    if precomputed is not None:
+        # initial sweep already ran inside tuning.prepare_chain's single
+        # compiled program (leveldata depends on theta only, not on w)
+        leveldata, pred_data, logdet, ok = precomputed
+    else:
+        leveldata, pred_data, logdet, ok = jax.jit(
+            lambda m, th, ww: sweep(m, th, ww)
+        )(ms, theta, w)
     if not bool(ok):
         # mirror load_state: a start that fails Cholesky would otherwise
         # produce an all-NaN chain without tripping the finite-theta guard
@@ -178,11 +198,20 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                 accept_count=ram.accept_count + accepted.astype(ms.dtype),
             )
 
-        if predicting and cfg.sample_predicts and cfg.sample_w:
-            if ms.pred_in_carry:
-                w = predict(ms, pred_data, w, kp)
+        if cfg.sample_predicts and cfg.sample_w:
+            # ``predicting`` may be a Python bool (staged out when False) or a
+            # traced bool: a traced flag lets ONE compiled program serve both
+            # the burn and keep phases (prediction skipped at runtime via
+            # lax.cond), halving the number of minutes-long XLA compiles
+            if isinstance(predicting, bool):
+                if predicting:
+                    w = (predict(ms, pred_data, w, kp) if ms.pred_in_carry
+                         else predict_recompute(ms, theta, w, kp))
             else:
-                w = predict_recompute(ms, theta, w, kp)
+                pfn = ((lambda ww: predict(ms, pred_data, ww, kp))
+                       if ms.pred_in_carry
+                       else (lambda ww: predict_recompute(ms, theta, ww, kp)))
+                w = jax.lax.cond(predicting, pfn, lambda ww: ww, w)
 
         tausq_inv = state.tausq_inv
         if cfg.sample_tausq:
@@ -201,6 +230,47 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
     return step
 
 
+class Moments(NamedTuple):
+    """Device-side running sums for summary-only collection (O(n) output
+    regardless of keep -- the large-n alternative to shipping every draw)."""
+
+    count: jax.Array  # scalar, kept samples accumulated
+    w_sum: jax.Array  # (..., n)
+    w_sq: jax.Array
+    yh_sum: jax.Array
+    yh_sq: jax.Array
+
+
+def _resolve_wire(cfg: MCMCConfig, ms: ModelStatic):
+    """Device->host dtype for the w draws (None = ship at model dtype)."""
+    wd = cfg.wire_dtype
+    if wd is None:  # auto: halve the relay bytes for f32 models
+        return jnp.float16 if ms.dtype == jnp.float32 else None
+    if wd in (False, "none", "off"):
+        return None
+    d = jnp.dtype(wd)
+    return None if d == jnp.dtype(ms.dtype) else d
+
+
+def _moments_zero(ms: ModelStatic, lead=()) -> Moments:
+    z = lambda: jnp.zeros(lead + (ms.n,), dtype=ms.dtype)
+    return Moments(jnp.zeros((), dtype=ms.dtype), z(), z(), z(), z())
+
+
+def _chunk_cost(ex):
+    """XLA's own (flops, bytes accessed) for one compiled keep chunk --
+    honest MFU and bandwidth-roofline utilization (the workload is
+    bandwidth-bound, so bytes/s vs the measured HBM envelope is the
+    meaningful utilization number; see examples/microbench_ops.py)."""
+    try:
+        ca = ex.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+    except Exception:
+        return 0.0, 0.0
+
+
 def run_mcmc(
     ms: ModelStatic,
     bounds: np.ndarray,
@@ -211,18 +281,30 @@ def run_mcmc(
     checkpoint_path: str | None = None,
     sink_dir: str | None = None,
     const_model: bool | None = None,
+    mesh=None,
 ):
     """Burn + chunked keep phases; returns dict of host-side sample arrays.
+
+    ONE compiled program serves both phases: burn runs the keep program in
+    chunks of ``chunk*thin`` iterations with the prediction step gated off at
+    runtime (traced ``predicting`` flag) and the emitted samples dropped
+    without a host fetch.  Burn is therefore rounded UP to whole chunks (the
+    actual count is returned as ``burn_actual``); on this machine every extra
+    XLA program costs minutes of remote compilation, which dominated
+    time-to-first-sample in round 2 (setup 1064s vs 63s sampling at n=1e5).
 
     Interruptible between chunks (partial results are returned), mirroring the
     reference's checkInterrupt polling (spamtree_fit.cpp:336,355-360).
     If ``checkpoint_path`` is set, the full sampler state is written there
-    after the burn phase and after every kept chunk (resume via
-    utils.checkpoint.load_state).
+    after every chunk (resume via utils.checkpoint.load_state).
+    ``mesh`` shards the block axis over devices (inputs must already be
+    placed via parallel.sharding.shard_model; chains stay at 1 here).
     """
     import os
 
     n = ms.n
+    wire = _resolve_wire(cfg, ms)
+    summary = cfg.collect == "summary"
 
     # Two ways to hand the model to XLA.  const_model=True closes over ms:
     # every model array is inlined into the program as a literal constant,
@@ -237,95 +319,122 @@ def run_mcmc(
     if const_model is None:
         limit = float(os.environ.get("SPAMTREE_CONST_LIMIT", 128e6))
         const_model = (
-            getattr(ms, "approx_device_bytes", float("inf")) <= limit
+            mesh is None
+            and getattr(ms, "approx_device_bytes", float("inf")) <= limit
         )
 
-    def _burn_body(m, s, keys):
-        st = make_step(m, bounds, cfg)
-        return jax.lax.scan(lambda ss, k: (st(ss, k, False), None), s, keys)[0]
-
-    def _keep_body(m, s, keys):
+    def _keep_body(m, carry, xs):
         st = make_step(m, bounds, cfg)
 
         # yhat = XB + w + tau*z is reconstructed on the HOST from (w, beta,
         # tausq): the device->host link is the bottleneck at large n
         # (measured ~20 MB/s through the relay vs ~30 ms/iteration compute),
-        # so only w rides the wire, not the redundant yhat
-        def keep_body(s, keys):
-            for i in range(cfg.thin - 1):
-                s = st(s, keys[i], False)
-            s = st(s, keys[cfg.thin - 1], True)
-            out = (s.w[:n], s.beta, 1.0 / s.tausq_inv, s.theta)
-            return s, out
+        # so only w rides the wire, not the redundant yhat.  In summary mode
+        # yhat moments are instead accumulated on DEVICE (with device RNG for
+        # the noise) and nothing row-indexed crosses the wire per sample.
+        def body(carry, x):
+            s, acc = carry
+            keys, flags = x  # (thin+1, 2), (thin,) traced predicting flags
+            for i in range(cfg.thin):
+                s = st(s, keys[i], flags[i])
+            if summary:
+                # flags[-1] is True exactly on keep chunks: burn chunks run
+                # the same program but contribute 0 to the moments
+                upd = flags[cfg.thin - 1].astype(m.dtype)
+                w_k = s.w[:n]
+                tau_sd = jnp.sqrt(1.0 / s.tausq_inv)[m.mv[:n]]
+                z = jax.random.normal(keys[cfg.thin], (n,), dtype=m.dtype)
+                yh = s.XB[:n] + w_k + tau_sd * z
+                acc = Moments(
+                    count=acc.count + upd,
+                    w_sum=acc.w_sum + upd * w_k,
+                    w_sq=acc.w_sq + upd * (w_k * w_k),
+                    yh_sum=acc.yh_sum + upd * yh,
+                    yh_sq=acc.yh_sq + upd * (yh * yh),
+                )
+                out = (s.beta, 1.0 / s.tausq_inv, s.theta)
+            else:
+                out_w = s.w[:n].astype(wire) if wire is not None else s.w[:n]
+                out = (out_w, s.beta, 1.0 / s.tausq_inv, s.theta)
+            return (s, acc), out
 
-        return jax.lax.scan(keep_body, s, keys)
+        return jax.lax.scan(body, carry, xs)
 
     if const_model:
-        _burn_c = partial(jax.jit, donate_argnums=0)(partial(_burn_body, ms))
         _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
-        burn_scan = lambda m, s, keys: _burn_c(s, keys)
-        keep_scan = lambda m, s, keys: _keep_c(s, keys)
-        _lower_burn = lambda m, s, keys: _burn_c.lower(s, keys)
-        _lower_keep = lambda m, s, keys: _keep_c.lower(s, keys)
-        _wrap = lambda ex: (lambda m, s, keys: ex(s, keys))
+        keep_scan = lambda m, c, xs: _keep_c(c, xs)
+        _lower_keep = lambda m, c, xs: _keep_c.lower(c, xs)
+        _wrap = lambda ex: (lambda m, c, xs: ex(c, xs))
     else:
-        burn_scan = partial(jax.jit, donate_argnums=1)(_burn_body)
         keep_scan = partial(jax.jit, donate_argnums=1)(_keep_body)
-        _lower_burn, _lower_keep = burn_scan.lower, keep_scan.lower
+        _lower_keep = keep_scan.lower
         _wrap = lambda ex: ex
 
     # host-side data for the yhat reconstruction (one-time small fetches)
     X_h = np.asarray(ms.X)
     mv_h = np.asarray(ms.mv[:n])
-    onehot_h = np.asarray(ms.mv_onehot[:n])
     yhat_rng = np.random.default_rng(int(np.asarray(state.key).ravel()[-1]))
 
     def _yhat_host(w_s, beta_s, tausq_s):
         """(m, n) posterior-predictive draws: X beta + w + tau z, exactly the
-        reference's spamtree_fit.cpp:384 with host RNG for z."""
-        XBq = np.einsum("np,kpq->knq", X_h, beta_s)
-        XB = np.einsum("knq,nq->kn", XBq, onehot_h)
+        reference's spamtree_fit.cpp:384 with host RNG for z.  Contracted one
+        covariate at a time so the peak temporary is (m, n) -- the einsum
+        route materialized a (m, n, q) cube, multi-GB at n=1e6."""
+        XB = np.zeros(w_s.shape, dtype=w_s.dtype)
+        for j in range(X_h.shape[1]):
+            XB += beta_s[:, j, :][:, mv_h] * X_h[:, j][None, :]
         sd = np.sqrt(tausq_s[:, mv_h])  # (m, n) per-row margin noise sd
-        z = yhat_rng.standard_normal(w_s.shape, dtype=np.float32)
+        zdt = np.float64 if w_s.dtype == np.float64 else np.float32
+        z = yhat_rng.standard_normal(w_s.shape, dtype=zdt)
         return XB + w_s + sd * z
 
-    # burn runs in bounded-length device calls: keeps single XLA executions
-    # short (relay/watchdog friendly at large n) and allows progress +
-    # checkpointing mid-burn
-    bc = min(cfg.burn_chunk, cfg.burn) if cfg.burn > 0 else 0
-    burn_fn = burn_scan
-    keep_compiled = None
-    keep_chunk_flops = 0.0
-    if precompile:
-        # AOT-compile the scans so mcmc_time measures sampling, not XLA
-        t_c = time.time()
-        if bc > 0:
-            dk = jax.random.split(jax.random.PRNGKey(0), bc)
-            burn_fn = _wrap(_lower_burn(ms, state, dk).compile())
-        m0 = min(cfg.chunk, cfg.keep)
-        dk2 = jax.random.split(jax.random.PRNGKey(0), m0 * (cfg.thin + 1)).reshape(
-            m0, cfg.thin + 1, 2
+    # chunk geometry: mc kept-samples (= mc*thin iterations) per device call;
+    # burn rounds UP to whole chunks; a final keep chunk past cfg.keep is
+    # truncated at drain time (the few extra transitions are discarded)
+    mc = min(cfg.chunk, cfg.keep) if cfg.keep > 0 else cfg.chunk
+    ipc = mc * cfg.thin
+    n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
+    burn_actual = n_burn_chunks * ipc
+    n_keep_chunks = int(np.ceil(cfg.keep / mc)) if cfg.keep > 0 else 0
+    flags_burn = jnp.zeros((mc, cfg.thin), dtype=bool)
+    fk = np.zeros(cfg.thin, dtype=bool)
+    fk[-1] = True
+    flags_keep = jnp.asarray(np.broadcast_to(fk, (mc, cfg.thin)))
+    if mesh is not None:
+        from spamtree_tpu.parallel.sharding import replicated
+
+        flags_burn = replicated(mesh, flags_burn)
+        flags_keep = replicated(mesh, flags_keep)
+
+    def _keys_chunk(sub):
+        ck = jax.random.split(sub, mc * (cfg.thin + 1)).reshape(
+            mc, cfg.thin + 1, 2
         )
-        keep_exec = _lower_keep(ms, state, dk2).compile()
+        if mesh is not None:
+            from spamtree_tpu.parallel.sharding import replicated
+
+            ck = replicated(mesh, ck)
+        return ck
+
+    acc0 = _moments_zero(ms) if summary else ()
+    carry = (state, acc0)
+
+    keep_compiled = None
+    keep_chunk_flops = keep_chunk_bytes = 0.0
+    compile_s = 0.0
+    if precompile:
+        # AOT-compile the single program so mcmc_time measures sampling
+        t_c = time.time()
+        dk = _keys_chunk(jax.random.PRNGKey(0))  # mesh-replicated when sharded
+        keep_exec = _lower_keep(ms, carry, (dk, flags_keep)).compile()
         keep_compiled = _wrap(keep_exec)
+        compile_s = time.time() - t_c
         if verbose:
-            print(f"[compile] {time.time()-t_c:.1f}s")
-
-        def _chunk_flops(ex):
-            """XLA's own flop count for one compiled keep chunk (m0 kept
-            samples x thin transitions each) -- for honest MFU reporting."""
-            try:
-                ca = ex.cost_analysis()
-                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-                return float(ca.get("flops", 0.0))
-            except Exception:
-                return 0.0
-
-        keep_chunk_flops = _chunk_flops(keep_exec)
+            print(f"[compile] {compile_s:.1f}s")
+        keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
 
     t0 = time.time()
     key = state.key
-    burned = 0
     # rolling acceptance over the window since the last report, next to the
     # cumulative rate (reference: RAMAdapt::print/print_summary,
     # mh_adapt.h:137-148, printed from spamtree_fit.cpp:334-372)
@@ -350,64 +459,76 @@ def run_mcmc(
             print(f"  tausq = {np.array2string(ts, precision=5)}")
         prev_acc, prev_prop, prev_t, prev_it = acc, prop, now, iters_done
 
-    import os as _os
-
-    _phase_dbg = bool(_os.environ.get("SPAMTREE_PHASE_DEBUG"))
-    while burned < cfg.burn:
+    _phase_dbg = bool(os.environ.get("SPAMTREE_PHASE_DEBUG"))
+    fn0 = lambda: keep_compiled if keep_compiled is not None else keep_scan
+    for bi in range(n_burn_chunks):
         _tc = time.time()
-        b = min(bc, cfg.burn - burned)
         key, sub = jax.random.split(key)
-        bkeys = jax.random.split(sub, b)
-        state = (burn_fn if b == bc else burn_scan)(ms, state, bkeys)
-        burned += b
+        carry, _void = fn0()(ms, carry, (_keys_chunk(sub), flags_burn))
+        del _void  # burn samples are never fetched; buffers free immediately
         if _phase_dbg:
-            _f = float(jnp.sum(state.theta))  # force (lazy relay)
-            print(f"[dbg] burn chunk {burned}: {time.time()-_tc:.3f}s",
+            jax.block_until_ready(carry[0].theta)
+            print(f"[dbg] burn chunk {bi + 1}: {time.time()-_tc:.3f}s",
                   flush=True)
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
-            save_state(checkpoint_path, state._replace(key=key))
+            save_state(checkpoint_path, carry[0]._replace(key=key))
         if verbose:
-            _report("burn", burned, cfg.burn, state, burned)
+            _report("burn", (bi + 1) * ipc, burn_actual, carry[0],
+                    (bi + 1) * ipc)
+    state, _acc = carry
     state = state._replace(key=key)
+    carry = (state, _acc)
 
     # with a sink, the big row-indexed draws (w, yhat) stream to disk on the
     # native writer thread instead of accumulating in host RAM (for n ~ 1e6)
     sinks = None
-    if sink_dir is not None:
-        import os
-
+    if sink_dir is not None and not summary:
         from spamtree_tpu.utils.native import SampleSink
 
         os.makedirs(sink_dir, exist_ok=True)
         sinks = {k: SampleSink(os.path.join(sink_dir, f"{k}_mcmc.f32"))
                  for k in ("w", "yhat")}
 
-    outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
-    kept = 0
+    out_keys = (("beta", "tausq", "theta") if summary
+                else ("w", "yhat", "beta", "tausq", "theta"))
+    outs = {k: [] for k in out_keys}
     drained = 0
     # pipelined drain: the next chunk is dispatched BEFORE the previous
     # chunk's samples are pulled to host, so the ~2 s/chunk device->host
     # transfer overlaps the ~3 s/chunk sampling compute.  Disabled when
     # checkpointing (the saved state must not run ahead of drained samples).
+    # Note the non-finite-theta abort fires one chunk late in pipelined mode
+    # (the next chunk is dispatched before this one's theta is inspected) --
+    # a diverged chain burns one extra chunk of device compute, the
+    # documented cost of the overlap.
     pipeline = checkpoint_path is None
-    pending = None  # device arrays of the previously dispatched chunk
+    pending = None  # (device arrays, samples to take) of the previous chunk
 
-    def _drain(dev_outs, m):
+    def _drain(dev_outs, m_take):
         nonlocal drained
-        w_s, beta_s, tausq_s, theta_s = [np.asarray(a) for a in dev_outs]
-        yhat_s = _yhat_host(w_s, beta_s, tausq_s)
-        if sinks is not None:
-            sinks["w"].push(w_s.astype(np.float32, copy=False))
-            sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
+        if summary:
+            beta_s, tausq_s, theta_s = [
+                np.asarray(a)[:m_take] for a in dev_outs
+            ]
         else:
-            outs["w"].append(w_s)
-            outs["yhat"].append(yhat_s)
+            w_s, beta_s, tausq_s, theta_s = [
+                np.asarray(a)[:m_take] for a in dev_outs
+            ]
+            if wire is not None:
+                w_s = w_s.astype(np.float32)
+            yhat_s = _yhat_host(w_s, beta_s, tausq_s)
+            if sinks is not None:
+                sinks["w"].push(w_s.astype(np.float32, copy=False))
+                sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
+            else:
+                outs["w"].append(w_s)
+                outs["yhat"].append(yhat_s)
         outs["beta"].append(beta_s)
         outs["tausq"].append(tausq_s)
         outs["theta"].append(theta_s)
-        drained += m
+        drained += m_take
         if not np.isfinite(theta_s).all():
             # reference aborts on NaN loglik (spamtree_fit.cpp:234-237)
             raise FloatingPointError(
@@ -419,25 +540,31 @@ def run_mcmc(
             save_state(checkpoint_path, state)
         if verbose:
             _report("keep", drained, cfg.keep, state,
-                    cfg.burn + drained * cfg.thin)
+                    burn_actual + drained * cfg.thin)
+        if int(verbose) >= 3:
+            # true per-iteration printall (reference spamtree_fit.cpp:344-350
+            # prints theta/tausq every iteration under printall); here the
+            # per-kept-iteration values print at drain time, costing nothing
+            # when off (they ride the existing transfer)
+            base = drained - theta_s.shape[0]
+            for i in range(theta_s.shape[0]):
+                print(f"    it {base + i + 1}: theta="
+                      f"{np.array2string(theta_s[i], precision=4)} tausq="
+                      f"{np.array2string(tausq_s[i], precision=5)}")
 
     try:
-        while kept < cfg.keep or pending is not None:
+        ki = 0
+        while ki < n_keep_chunks or pending is not None:
             cur = None
-            m = 0
-            if kept < cfg.keep:
-                m = min(cfg.chunk, cfg.keep - kept)
+            take = 0
+            if ki < n_keep_chunks:
+                take = min(mc, cfg.keep - ki * mc)
                 key, sub = jax.random.split(key)
-                ckeys = jax.random.split(sub, m * (cfg.thin + 1)).reshape(
-                    m, cfg.thin + 1, 2
-                )
-                fn = (keep_compiled
-                      if (keep_compiled is not None
-                          and m == min(cfg.chunk, cfg.keep))
-                      else keep_scan)
-                state, cur = fn(ms, state, ckeys)
+                carry, cur = fn0()(ms, carry, (_keys_chunk(sub), flags_keep))
+                state, _acc = carry
                 state = state._replace(key=key)
-                kept += m
+                carry = (state, _acc)
+                ki += 1
                 for a in cur:  # start the async device->host copies early
                     try:
                         a.copy_to_host_async()
@@ -447,25 +574,49 @@ def run_mcmc(
                 _drain(*pending)
                 pending = None
             if pipeline:
-                pending = (cur, m) if cur is not None else None
+                pending = (cur, take) if cur is not None else None
             elif cur is not None:
-                _drain(cur, m)
+                _drain(cur, take)
     except KeyboardInterrupt:
         print("MCMC interrupted; returning partial results.")
+        if pending is not None:
+            try:
+                _drain(*pending)  # the computed chunk is already paid for
+            except Exception:
+                pass
+            pending = None
 
     if sinks is not None:
-        for k, sk in sinks.items():
+        for sk in sinks.values():
             sk.close()
     res = {k: (np.concatenate(v) if v else np.zeros((0,))) for k, v in outs.items()}
     if sinks is not None:
         res["sink_files"] = {k: sk.path for k, sk in sinks.items()}
+    if summary:
+        acc = carry[1]
+        cnt = max(float(np.asarray(acc.count)), 1.0)
+        w_mean = np.asarray(acc.w_sum) / cnt
+        yh_mean = np.asarray(acc.yh_sum) / cnt
+        res["w_mean"] = w_mean
+        res["w_var"] = np.maximum(np.asarray(acc.w_sq) / cnt - w_mean**2, 0.0)
+        res["yhat_mean"] = yh_mean
+        res["yhat_var"] = np.maximum(
+            np.asarray(acc.yh_sq) / cnt - yh_mean**2, 0.0
+        )
+        res["summary_count"] = cnt
+        res["w"] = np.zeros((0, n))
+        res["yhat"] = np.zeros((0, n))
+    res["burn_actual"] = burn_actual
+    res["compile_time_s"] = round(compile_s, 2)
     res["mcmc_time"] = time.time() - t0
     res["paramsd"] = np.asarray(state.ram.paramsd)
     res["accept_ratio"] = float(state.ram.accept_count) / max(
         float(state.ram.propos_count), 1
     )
     if keep_chunk_flops:
-        res["flops_per_kept_sample"] = keep_chunk_flops / min(cfg.chunk, cfg.keep)
+        res["flops_per_kept_sample"] = keep_chunk_flops / mc
+    if keep_chunk_bytes:
+        res["bytes_per_kept_sample"] = keep_chunk_bytes / mc
     res["state"] = state
     return res
 
@@ -493,8 +644,12 @@ def run_mcmc_chains(
     one chain, spamtree_fit.cpp:167-391).  Outputs carry a chain axis after
     the sample axis: w/yhat (keep, C, n), beta (keep, C, p, q), etc.
     """
+    import os
+
     n = ms.n
     C = int(np.asarray(states.theta).shape[0])
+    wire = _resolve_wire(cfg, ms)
+    summary = cfg.collect == "summary"
 
     if mesh is not None:
         from spamtree_tpu.parallel.sharding import chain_sharded
@@ -513,69 +668,77 @@ def run_mcmc_chains(
     # see run_mcmc: closure-constant model when small and unsharded (a
     # mesh-sharded model must stay a runtime argument)
     if const_model is None:
-        import os
-
         limit = float(os.environ.get("SPAMTREE_CONST_LIMIT", 128e6))
         const_model = (
             mesh is None
             and getattr(ms, "approx_device_bytes", float("inf")) <= limit
         )
 
-    def _burn_body(m, s, keys):  # keys (b, C, 2)
+    def _keep_body(m, carry, xs):
         st = make_step(m, bounds, cfg)
-        vstep = jax.vmap(lambda ss, k: st(ss, k, False))
-        return jax.lax.scan(lambda ss, k: (vstep(ss, k), None), s, keys)[0]
+        # predicting flag stays UNBATCHED under the chain vmap (in_axes
+        # None), so lax.cond survives vmap as a cond: burn chunks skip the
+        # prediction work at runtime, exactly as in the single-chain path
+        vstep = jax.vmap(st, in_axes=(0, 0, None))
 
-    def _keep_body(m, s, keys):
-        st = make_step(m, bounds, cfg)
-        vstep_b = jax.vmap(lambda ss, k: st(ss, k, False))
-        vstep_p = jax.vmap(lambda ss, k: st(ss, k, True))
+        def body(carry, x):
+            s, acc = carry
+            keys, flags = x  # (thin+1, C, 2), (thin,)
+            for i in range(cfg.thin):
+                s = vstep(s, keys[i], flags[i])
+            if summary:
+                upd = flags[cfg.thin - 1].astype(m.dtype)
+                w_k = s.w[:, :n]  # (C, n)
+                tau_sd = jnp.sqrt(1.0 / s.tausq_inv)[:, m.mv[:n]]
+                z = jax.vmap(
+                    lambda k: jax.random.normal(k, (n,), dtype=m.dtype)
+                )(keys[cfg.thin])
+                yh = s.XB[:, :n] + w_k + tau_sd * z
+                acc = Moments(
+                    count=acc.count + upd,
+                    w_sum=acc.w_sum + upd * w_k,
+                    w_sq=acc.w_sq + upd * (w_k * w_k),
+                    yh_sum=acc.yh_sum + upd * yh,
+                    yh_sq=acc.yh_sq + upd * (yh * yh),
+                )
+                out = (s.beta, 1.0 / s.tausq_inv, s.theta)
+            else:
+                out_w = (s.w[:, :n].astype(wire) if wire is not None
+                         else s.w[:, :n])
+                out = (out_w, s.beta, 1.0 / s.tausq_inv, s.theta)
+            return (s, acc), out
 
-        # yhat reconstructed host-side from (w, beta, tausq), as in run_mcmc
-        def keep_body(s, keys):  # keys (thin+1, C, 2)
-            for i in range(cfg.thin - 1):
-                s = vstep_b(s, keys[i])
-            s = vstep_p(s, keys[cfg.thin - 1])
-            return s, (s.w[:, :n], s.beta, 1.0 / s.tausq_inv, s.theta)
-
-        return jax.lax.scan(keep_body, s, keys)
+        return jax.lax.scan(body, carry, xs)
 
     if const_model:
-        _burn_c = partial(jax.jit, donate_argnums=0)(partial(_burn_body, ms))
         _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
-        burn_scan = lambda m, s, keys: _burn_c(s, keys)
-        keep_scan = lambda m, s, keys: _keep_c(s, keys)
-        _lower_burn = lambda m, s, keys: _burn_c.lower(s, keys)
-        _lower_keep = lambda m, s, keys: _keep_c.lower(s, keys)
-        _wrap = lambda ex: (lambda m, s, keys: ex(s, keys))
+        keep_scan = lambda m, c, xs: _keep_c(c, xs)
+        _lower_keep = lambda m, c, xs: _keep_c.lower(c, xs)
+        _wrap = lambda ex: (lambda m, c, xs: ex(c, xs))
     else:
-        burn_scan = partial(jax.jit, donate_argnums=1)(_burn_body)
         keep_scan = partial(jax.jit, donate_argnums=1)(_keep_body)
-        _lower_burn, _lower_keep = burn_scan.lower, keep_scan.lower
+        _lower_keep = keep_scan.lower
         _wrap = lambda ex: ex
 
     X_h = np.asarray(ms.X)
     mv_h = np.asarray(ms.mv[:n])
-    onehot_h = np.asarray(ms.mv_onehot[:n])
     yhat_rng = np.random.default_rng(
         int(np.asarray(states.key).ravel()[-1])
     )
 
     def _yhat_host(w_s, beta_s, tausq_s):
-        """(m, C, n) posterior-predictive draws (host RNG for the noise)."""
-        XBq = np.einsum("np,mcpq->mcnq", X_h, beta_s)
-        XB = np.einsum("mcnq,nq->mcn", XBq, onehot_h)
+        """(m, C, n) posterior-predictive draws (host RNG for the noise);
+        contracted per covariate to avoid the (m, C, n, q) temporary."""
+        XB = np.zeros(w_s.shape, dtype=w_s.dtype)
+        for j in range(X_h.shape[1]):
+            XB += beta_s[:, :, j, :][..., mv_h] * X_h[:, j]
         sd = np.sqrt(tausq_s[:, :, mv_h])  # (m, C, n)
-        z = yhat_rng.standard_normal(w_s.shape, dtype=np.float32)
+        zdt = np.float64 if w_s.dtype == np.float64 else np.float32
+        z = yhat_rng.standard_normal(w_s.shape, dtype=zdt)
         return XB + w_s + sd * z
 
     # per-chain key streams: split each chain's carried key into (next key,
     # m iteration keys) -- the user's per-chain seeds drive everything
-    @partial(jax.jit, static_argnums=1)
-    def _next_keys_burn(chainkeys, m):  # (C, 2) -> (C, 2), (m, C, 2)
-        ks = jax.vmap(lambda k: jax.random.split(k, m + 1))(chainkeys)
-        return ks[:, 0], jnp.moveaxis(ks[:, 1:], 0, 1)
-
     @partial(jax.jit, static_argnums=1)
     def _next_keys_keep(chainkeys, m):  # -> (C, 2), (m, thin+1, C, 2)
         ks = jax.vmap(
@@ -584,21 +747,44 @@ def run_mcmc_chains(
         it = ks[:, 1:].reshape(C, m, cfg.thin + 1, 2)
         return ks[:, 0], jnp.moveaxis(it, 0, 2)
 
-    bc = min(cfg.burn_chunk, cfg.burn) if cfg.burn > 0 else 0
-    burn_fn, keep_compiled = burn_scan, None
+    # chunk geometry mirrors run_mcmc: one program for burn and keep, burn
+    # rounded up to whole chunks, final keep chunk truncated at drain
+    mc = min(cfg.chunk, cfg.keep) if cfg.keep > 0 else cfg.chunk
+    ipc = mc * cfg.thin
+    n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
+    burn_actual = n_burn_chunks * ipc
+    n_keep_chunks = int(np.ceil(cfg.keep / mc)) if cfg.keep > 0 else 0
+    flags_burn = jnp.zeros((mc, cfg.thin), dtype=bool)
+    fk = np.zeros(cfg.thin, dtype=bool)
+    fk[-1] = True
+    flags_keep = jnp.asarray(np.broadcast_to(fk, (mc, cfg.thin)))
+    if mesh is not None:
+        from spamtree_tpu.parallel.sharding import replicated
+
+        flags_burn = replicated(mesh, flags_burn)
+        flags_keep = replicated(mesh, flags_keep)
+
+    acc0 = _moments_zero(ms, lead=(C,)) if summary else ()
+    if summary and mesh is not None:
+        from spamtree_tpu.parallel.sharding import chain_sharded
+
+        acc0 = Moments(acc0.count,
+                       *chain_sharded(mesh, tuple(acc0[1:])))
+    carry = (states, acc0)
+
+    keep_compiled = None
+    keep_chunk_flops = keep_chunk_bytes = 0.0
+    compile_s = 0.0
     if precompile:
         t_c = time.time()
         ck = jnp.asarray(np.asarray(states.key))
-        if bc > 0:
-            _, dk = _next_keys_burn(ck, bc)
-            burn_fn = _wrap(_lower_burn(ms, states, _shard_keys(dk)).compile())
-        m0 = min(cfg.chunk, cfg.keep)
-        _, dk2 = _next_keys_keep(ck, m0)
-        keep_compiled = _wrap(
-            _lower_keep(ms, states, _shard_keys(dk2)).compile()
-        )
+        _, dk2 = _next_keys_keep(ck, mc)
+        keep_exec = _lower_keep(ms, carry, (_shard_keys(dk2), flags_keep)).compile()
+        keep_compiled = _wrap(keep_exec)
+        compile_s = time.time() - t_c
         if verbose:
-            print(f"[compile] {time.time()-t_c:.1f}s")
+            print(f"[compile] {compile_s:.1f}s")
+        keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
 
     def _save(states, chainkeys):
         if checkpoint_path:
@@ -608,53 +794,60 @@ def run_mcmc_chains(
 
     t0 = time.time()
     chainkeys = states.key
-    burned = 0
-    while burned < cfg.burn:
-        b = min(bc, cfg.burn - burned)
-        chainkeys, bkeys = _next_keys_burn(chainkeys, b)
-        states = (burn_fn if b == bc else burn_scan)(
-            ms, states, _shard_keys(bkeys)
-        )
-        burned += b
-        _save(states, chainkeys)
+    fn0 = lambda: keep_compiled if keep_compiled is not None else keep_scan
+    for bi in range(n_burn_chunks):
+        chainkeys, bkeys = _next_keys_keep(chainkeys, mc)
+        carry, _void = fn0()(ms, carry, (_shard_keys(bkeys), flags_burn))
+        del _void
+        _save(carry[0], chainkeys)
         if verbose:
-            jax.block_until_ready(states.w)
-            acc = float(np.sum(np.asarray(states.ram.accept_count)))
-            prop = float(np.sum(np.asarray(states.ram.propos_count)))
-            print(f"[burn] {burned}/{cfg.burn} x {C} chains, "
+            jax.block_until_ready(carry[0].w)
+            acc = float(np.sum(np.asarray(carry[0].ram.accept_count)))
+            prop = float(np.sum(np.asarray(carry[0].ram.propos_count)))
+            print(f"[burn] {(bi + 1) * ipc}/{burn_actual} x {C} chains, "
                   f"{time.time()-t0:.2f}s, accept {acc/max(prop,1):.2%}")
+    states, _acc = carry
     states = states._replace(key=chainkeys)
+    carry = (states, _acc)
 
     sinks = None
-    if sink_dir is not None:
-        import os
-
+    if sink_dir is not None and not summary:
         from spamtree_tpu.utils.native import SampleSink
 
         os.makedirs(sink_dir, exist_ok=True)
         sinks = {k: SampleSink(os.path.join(sink_dir, f"{k}_mcmc.f32"))
                  for k in ("w", "yhat")}
 
-    outs = {k: [] for k in ("w", "yhat", "beta", "tausq", "theta")}
-    kept = 0
+    out_keys = (("beta", "tausq", "theta") if summary
+                else ("w", "yhat", "beta", "tausq", "theta"))
+    outs = {k: [] for k in out_keys}
     drained = 0
     pipeline = checkpoint_path is None  # see run_mcmc
     pending = None
 
-    def _drain(dev_outs, m):
+    def _drain(dev_outs, m_take):
         nonlocal drained
-        w_s, beta_s, tausq_s, theta_s = [np.asarray(a) for a in dev_outs]
-        yhat_s = _yhat_host(w_s, beta_s, tausq_s)
-        if sinks is not None:
-            sinks["w"].push(w_s.astype(np.float32, copy=False))
-            sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
+        if summary:
+            beta_s, tausq_s, theta_s = [
+                np.asarray(a)[:m_take] for a in dev_outs
+            ]
         else:
-            outs["w"].append(w_s)
-            outs["yhat"].append(yhat_s)
+            w_s, beta_s, tausq_s, theta_s = [
+                np.asarray(a)[:m_take] for a in dev_outs
+            ]
+            if wire is not None:
+                w_s = w_s.astype(np.float32)
+            yhat_s = _yhat_host(w_s, beta_s, tausq_s)
+            if sinks is not None:
+                sinks["w"].push(w_s.astype(np.float32, copy=False))
+                sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
+            else:
+                outs["w"].append(w_s)
+                outs["yhat"].append(yhat_s)
         outs["beta"].append(beta_s)
         outs["tausq"].append(tausq_s)
         outs["theta"].append(theta_s)
-        drained += m
+        drained += m_take
         if not np.isfinite(theta_s).all():
             raise FloatingPointError(
                 "non-finite theta in chain; aborting (NaN loglik guard)"
@@ -665,19 +858,18 @@ def run_mcmc_chains(
                   f"{time.time()-t0:.2f}s")
 
     try:
-        while kept < cfg.keep or pending is not None:
+        ki = 0
+        while ki < n_keep_chunks or pending is not None:
             cur = None
-            m = 0
-            if kept < cfg.keep:
-                m = min(cfg.chunk, cfg.keep - kept)
-                chainkeys, ckeys = _next_keys_keep(chainkeys, m)
-                fn = (keep_compiled
-                      if keep_compiled is not None
-                      and m == min(cfg.chunk, cfg.keep)
-                      else keep_scan)
-                states, cur = fn(ms, states, _shard_keys(ckeys))
+            take = 0
+            if ki < n_keep_chunks:
+                take = min(mc, cfg.keep - ki * mc)
+                chainkeys, ckeys = _next_keys_keep(chainkeys, mc)
+                carry, cur = fn0()(ms, carry, (_shard_keys(ckeys), flags_keep))
+                states, _acc = carry
                 states = states._replace(key=chainkeys)
-                kept += m
+                carry = (states, _acc)
+                ki += 1
                 for a in cur:
                     try:
                         a.copy_to_host_async()
@@ -687,11 +879,17 @@ def run_mcmc_chains(
                 _drain(*pending)
                 pending = None
             if pipeline:
-                pending = (cur, m) if cur is not None else None
+                pending = (cur, take) if cur is not None else None
             elif cur is not None:
-                _drain(cur, m)
+                _drain(cur, take)
     except KeyboardInterrupt:
         print("MCMC interrupted; returning partial results.")
+        if pending is not None:
+            try:
+                _drain(*pending)
+            except Exception:
+                pass
+            pending = None
 
     if sinks is not None:
         for sk in sinks.values():
@@ -699,6 +897,22 @@ def run_mcmc_chains(
     res = {k: (np.concatenate(v) if v else np.zeros((0,))) for k, v in outs.items()}
     if sinks is not None:
         res["sink_files"] = {k: sk.path for k, sk in sinks.items()}
+    if summary:
+        acc = carry[1]
+        cnt = max(float(np.asarray(acc.count)), 1.0)
+        w_mean = np.asarray(acc.w_sum) / cnt
+        yh_mean = np.asarray(acc.yh_sum) / cnt
+        res["w_mean"] = w_mean
+        res["w_var"] = np.maximum(np.asarray(acc.w_sq) / cnt - w_mean**2, 0.0)
+        res["yhat_mean"] = yh_mean
+        res["yhat_var"] = np.maximum(
+            np.asarray(acc.yh_sq) / cnt - yh_mean**2, 0.0
+        )
+        res["summary_count"] = cnt
+        res["w"] = np.zeros((0, C, n))
+        res["yhat"] = np.zeros((0, C, n))
+    res["burn_actual"] = burn_actual
+    res["compile_time_s"] = round(compile_s, 2)
     res["mcmc_time"] = time.time() - t0
     res["paramsd"] = np.asarray(states.ram.paramsd)
     res["accept_ratio"] = float(np.sum(np.asarray(states.ram.accept_count))) / max(
@@ -708,5 +922,9 @@ def run_mcmc_chains(
         np.asarray(states.ram.accept_count)
         / np.maximum(np.asarray(states.ram.propos_count), 1)
     )
+    if keep_chunk_flops:
+        res["flops_per_kept_sample"] = keep_chunk_flops / mc
+    if keep_chunk_bytes:
+        res["bytes_per_kept_sample"] = keep_chunk_bytes / mc
     res["state"] = states
     return res

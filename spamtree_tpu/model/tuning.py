@@ -18,12 +18,112 @@ has to learn correlations.
 
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from spamtree_tpu.model.core import ModelStatic, gibbs_w, quad_loglik, sweep
 from spamtree_tpu.model.transforms import transf_back, transf_fwd
+
+
+def curvature_sd_from_lls(lls, nt, fd_step=0.15, default_var=1e-4,
+                          max_var=0.25):
+    """Host-side half of the curvature tuner: turn the (2*nt+1,) FD
+    log-likelihood values from ``prepare_chain`` into the diagonal proposal
+    covariance (2.38^2/d) * H_ii^-1 (Roberts/Rosenthal optimal scale)."""
+    lls = np.asarray(lls, dtype=np.float64)
+    f0, fp, fm = lls[0], lls[1 : 1 + nt], lls[1 + nt :]
+    h = fd_step
+    curv = -(fp - 2.0 * f0 + fm) / (h * h)  # -d^2 ll / dz_i^2
+    scale = 2.38**2 / nt
+    var = np.full(nt, default_var)
+    good = np.isfinite(curv) & (curv > 0)
+    var[good] = np.clip(scale / curv[good], 1e-10, max_var)
+    return np.diag(var)
+
+
+def prepare_chain(
+    ms: ModelStatic,
+    bounds: np.ndarray,
+    theta0: np.ndarray,
+    do_curvature: bool = True,
+    n_warm_gibbs: int = 5,
+    fd_step: float = 0.15,
+    start_tausq: float = 0.1,
+    seed: int = 0,
+    timings: dict | None = None,
+):
+    """ONE compiled program for everything the chain needs before iteration 0.
+
+    Fuses what used to be three separately-compiled XLA programs -- the
+    curvature tuner's w-warm sweep, its finite-difference log-likelihood
+    batch, and ``init_state``'s initial likelihood sweep -- into a single
+    jitted function.  On this machine each extra program costs minutes of
+    remote compilation, so collapsing the count is the main lever on
+    time-to-first-sample (the reference's whole pre-MCMC phase is seconds of
+    R; spamtree_fit.R:204-324).
+
+    Returns ``(precomputed, lls)`` where ``precomputed = (leveldata,
+    pred_data, logdet, ok)`` is the initial sweep state for ``init_state``
+    and ``lls`` is the (2*nt+1,) FD log-likelihood vector for
+    ``curvature_sd_from_lls`` (None when ``do_curvature`` is False).
+    ``timings`` (optional dict) receives ``prepare_compile_s`` /
+    ``prepare_run_s``.
+    """
+    nt = len(theta0)
+    dt = ms.dtype
+    bnds = jnp.asarray(bounds, dtype=dt)
+    theta0j = jnp.asarray(theta0, dtype=dt)
+    z0 = transf_fwd(theta0j, bnds)
+    h = fd_step
+    eye = jnp.eye(nt, dtype=dt)
+    zs = jnp.concatenate([z0[None], z0 + h * eye, z0 - h * eye])
+
+    def _prep(m, theta, zs, key):
+        w0 = jnp.zeros((m.n + 1,), dtype=dt)
+        ld, pd, logdet, ok = sweep(m, theta, w0, build_pred=True)
+        if not do_curvature:
+            return ld, pd, logdet, ok
+        # settle w with a few Gibbs sweeps at theta0 so the conditional
+        # target ll(theta | w) carries data information
+        tausq_inv = jnp.full((m.q,), 1.0 / start_tausq, dtype=dt)
+        XB0 = jnp.zeros((m.n + 1,), dtype=dt)
+
+        def body(w, k):
+            return gibbs_w(m, ld, w, tausq_inv, XB0, k), None
+
+        w, _ = jax.lax.scan(body, w0, jax.random.split(key, n_warm_gibbs))
+
+        # sequential map keeps one FD sweep's transients live at a time; the
+        # fused quad path (quad_prev=ld) yields the new-factor quadratic form
+        # without a standalone quad_loglik pass
+        def one(z):
+            th = transf_back(z, bnds)
+            _l, _p, lgd, okz, q_new, _q = sweep(
+                m, th, w, build_pred=False, quad_prev=ld
+            )
+            return jnp.where(okz, lgd + q_new, jnp.nan)
+
+        lls = jax.lax.map(one, zs)
+        return ld, pd, logdet, ok, lls
+
+    jitted = jax.jit(_prep)
+    t0 = time.time()
+    compiled = jitted.lower(ms, theta0j, zs, jax.random.PRNGKey(seed)).compile()
+    t1 = time.time()
+    out = compiled(ms, theta0j, zs, jax.random.PRNGKey(seed))
+    out = jax.block_until_ready(out)
+    t2 = time.time()
+    if timings is not None:
+        timings["prepare_compile_s"] = round(t1 - t0, 2)
+        timings["prepare_run_s"] = round(t2 - t1, 2)
+    if do_curvature:
+        ld, pd, logdet, ok, lls = out
+        return (ld, pd, logdet, ok), lls
+    ld, pd, logdet, ok = out
+    return (ld, pd, logdet, ok), None
 
 
 def curvature_proposal_sd(

@@ -24,8 +24,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from spamtree_tpu.model.core import LevelArrays, ModelStatic
 
 
-def make_mesh(n_chains: int = 1, n_blocks_shards: int | None = None) -> Mesh:
-    devs = np.array(jax.devices())
+def make_mesh(n_chains: int = 1, n_blocks_shards: int | None = None,
+              devices=None) -> Mesh:
+    devs = np.array(jax.devices() if devices is None else list(devices))
     total = len(devs)
     if n_blocks_shards is None:
         n_blocks_shards = total // n_chains

