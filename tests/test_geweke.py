@@ -13,6 +13,8 @@ moment z-scores must be small.  This is the reference's missing test layer
 (SURVEY.md section 4: "Geweke/joint-distribution tests for MCMC correctness").
 """
 
+import copy
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,7 @@ from spamtree_tpu.model.core import (
     prior_sample_w,
     sweep,
 )
+from spamtree_tpu.model.mcmc import MCMCConfig, init_state, make_step
 from spamtree_tpu.model.params import make_theta_spec
 from spamtree_tpu.tree.partition import make_tree
 from spamtree_tpu.tree.schedule import build_schedule
@@ -118,3 +121,156 @@ def test_geweke_gibbs_cycle():
         zscore(fw_w2, sc_w2),
     ]
     assert np.max(np.abs(zs)) < 4.5, zs
+
+
+def test_geweke_full_cycle_with_theta_mh():
+    """Full-cycle Geweke INCLUDING the RAM-MH theta step.
+
+    Extends the Gibbs-cycle test above to the complete transition kernel of
+    ``make_step`` -- w-Gibbs, theta-MH (logit transforms + jacobian +
+    chol-auto-reject + accept-swap of leveldata, the reference machinery at
+    mh_adapt.h:78-135 / spamtree_fit.cpp:203-289), tausq-Gibbs, beta-Gibbs --
+    with a proper (box-truncated gamma) prior on theta so the marginal of
+    theta under the joint is known.
+
+    * marginal-conditional: theta ~ truncated prior (host rejection
+      sampling), w | theta ~ treed prior, beta ~ N(0, Vi^-1),
+      tausq^-1 ~ Gamma(a, b), y | ... ~ N(Xb + w, tausq);
+    * successive-conditional: the REAL ``make_step`` transition (adaptation
+      off so the kernel is Markov) alternated with re-simulation of y.
+      ``ms`` is passed as a traced pytree argument so the fresh y swaps in
+      without recompiling.
+
+    If theta-MH targets anything other than p(theta | w) prior(theta) --
+    wrong jacobian, stale leveldata after an accept, prior dropped (the
+    reference's own bug: spamtree_fit.cpp:239-246 computes and discards the
+    prior logratio) -- the theta/w moments drift and the z-scores blow up.
+    """
+    rng = np.random.default_rng(7)
+    n, p = 48, 2
+    coords = rng.uniform(size=(n, 2))
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    coords = coords[order]
+    mv = np.zeros(n, dtype=np.int64)
+    X = rng.normal(size=(n, p))
+    tree = make_tree(coords, np.ones(n, bool), mv, axis_cell_size=4, K=2,
+                     rng=rng)
+    sched = build_schedule(tree)
+    tspec = make_theta_spec(2, 1)
+    nt = 4  # (ai1, ai2, phi, thetamv) for dd=2, q=1
+    bounds = np.array([[0.25, 6.0]] * nt)
+
+    # informative gamma(shape 8, rate 4) prior per dim: mean 2, sd ~0.71;
+    # the box [0.25, 6] truncates only ~1e-6 of its mass, and the forward
+    # sampler rejection-samples so the truncation is exact on both sides
+    g_shape, g_rate = 8.0, 4.0
+    a_t, b_t = 2.5, 1.0  # tausq_inv ~ Gamma(a_t, rate b_t)
+
+    def draw_theta():
+        while True:
+            th = rng.gamma(g_shape, 1.0 / g_rate, size=nt)
+            if np.all((th > bounds[:, 0]) & (th < bounds[:, 1])):
+                return th
+
+    ms = ModelStatic(sched, coords, mv, np.zeros(n), X, tspec.spec,
+                     dtype=jnp.float64)
+    Xj = jnp.asarray(X, dtype=jnp.float64)
+
+    @jax.jit
+    def fwd_given_theta(theta, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        leveldata, _pd, _logdet, ok = sweep(ms, theta, jnp.zeros((n + 1,)))
+        w = prior_sample_w(ms, leveldata, k1)[:n]
+        beta = jax.random.normal(k2, (p,))  # Vi = I
+        tinv = jax.random.gamma(k3, a_t) / b_t
+        y = Xj @ beta + w + jax.random.normal(k4, (n,)) / jnp.sqrt(tinv)
+        return w, beta, tinv, y, ok
+
+    cfg = MCMCConfig(
+        adapting=False,           # fixed kernel: the chain must be Markov
+        mcmcsd=0.09,              # logit-space proposal sd 0.3
+        tausq_ab=(a_t, b_t),
+        beta_Vi=1.0,              # Vi = I
+        sample_predicts=False,
+        theta_prior=[("gamma", g_shape, g_rate)] * nt,
+    )
+
+    @jax.jit
+    def cyc(ms_arg, state, key):
+        k1, k2 = jax.random.split(key)
+        step = make_step(ms_arg, bounds, cfg)
+        state = step(state, k1, False)
+        tau_sd = jnp.sqrt(1.0 / state.tausq_inv)[ms_arg.mv[:n]]
+        z = jax.random.normal(k2, (n,), dtype=jnp.float64)
+        y = state.XB[:n] + state.w[:n] + tau_sd * z
+        return jnp.append(y, 0.0), state
+
+    # --- marginal-conditional (iid forward) draws
+    N = 3000
+    fkeys = jax.random.split(jax.random.PRNGKey(10), N)
+    fw_th = np.zeros((N, nt))
+    fw_b0 = np.zeros(N)
+    fw_tinv = np.zeros(N)
+    fw_w2 = np.zeros(N)
+    for i in range(N):
+        th = draw_theta()
+        w, b, ti, _y, ok = fwd_given_theta(jnp.asarray(th), fkeys[i])
+        assert bool(ok)
+        fw_th[i] = th
+        fw_b0[i] = float(b[0])
+        fw_tinv[i] = float(ti)
+        fw_w2[i] = float(jnp.mean(w * w))
+
+    # --- successive-conditional chain through the real transition kernel
+    th0 = draw_theta()
+    w0, b0, t0, y0, ok0 = fwd_given_theta(jnp.asarray(th0),
+                                          jax.random.PRNGKey(11))
+    assert bool(ok0)
+    ms_c = copy.copy(ms)
+    ms_c.y = jnp.append(y0, 0.0)
+    state = init_state(
+        ms_c, bounds, th0, start_beta=np.asarray(b0),
+        start_tausq=1.0 / float(t0), start_w=np.asarray(w0), cfg=cfg,
+    )
+    burn = 500
+    skeys = jax.random.split(jax.random.PRNGKey(12), N + burn)
+    sc_th = np.zeros((N, nt))
+    sc_b0 = np.zeros(N)
+    sc_tinv = np.zeros(N)
+    sc_w2 = np.zeros(N)
+    for i in range(N + burn):
+        y_full, state = cyc(ms_c, state, skeys[i])
+        ms_c = copy.copy(ms_c)
+        ms_c.y = y_full
+        if i >= burn:
+            j = i - burn
+            sc_th[j] = np.asarray(state.theta)
+            sc_b0[j] = float(state.beta[0, 0])
+            sc_tinv[j] = float(state.tausq_inv[0])
+            sc_w2[j] = float(jnp.mean(state.w[:n] ** 2))
+
+    # the MH kernel must actually move for the comparison to mean anything
+    acc = float(state.ram.accept_count) / float(state.ram.propos_count)
+    assert 0.05 < acc < 0.95, acc
+
+    def zscore(a, b, lag=50):
+        nb = len(b) // lag
+        bm = b[: nb * lag].reshape(nb, lag).mean(axis=1)
+        se = np.sqrt(a.var() / len(a) + bm.var() / nb)
+        return (a.mean() - b.mean()) / se
+
+    zs = {
+        "theta0": zscore(fw_th[:, 0], sc_th[:, 0]),
+        "theta1": zscore(fw_th[:, 1], sc_th[:, 1]),
+        "theta2": zscore(fw_th[:, 2], sc_th[:, 2]),
+        "theta3": zscore(fw_th[:, 3], sc_th[:, 3]),
+        "theta0_sq": zscore(fw_th[:, 0] ** 2, sc_th[:, 0] ** 2),
+        "beta0": zscore(fw_b0, sc_b0),
+        "tinv": zscore(fw_tinv, sc_tinv),
+        "w2": zscore(fw_w2, sc_w2),
+        # interaction moment: couples the theta marginal to the w field --
+        # catches stale-leveldata / swap bugs that leave both marginals intact
+        "th0_x_w2": zscore(fw_th[:, 0] * fw_w2, sc_th[:, 0] * sc_w2),
+    }
+    worst = max(abs(v) for v in zs.values())
+    assert worst < 4.5, zs
