@@ -191,13 +191,16 @@ def main():
                                n_chains=args.n_chains, verbose=args.verbose))
     ips_runs = [x["ips"] for x in runs]
     med = int(np.argsort(ips_runs)[len(ips_runs) // 2])
-    r = runs[med]  # headline = the median-throughput trial
+    r = dict(runs[med])  # headline = the median-throughput trial (copy:
+    # r must not alias runs[i], the cold/warm fields below would clobber it)
     r["setup_time"] = runs[0]["setup_time"]  # first trial pays cold setup
     r["setup_breakdown"] = runs[0]["setup_breakdown"]
     if len(runs) > 1:
         # later trials reuse warm caches (persistent XLA cache + staged
         # host buffers): the realistic repeat-user setup cost
-        r["setup_time_warm"] = min(x["setup_time"] for x in runs[1:])
+        wi = 1 + int(np.argmin([x["setup_time"] for x in runs[1:]]))
+        r["setup_time_warm"] = runs[wi]["setup_time"]
+        r["setup_breakdown_warm"] = runs[wi]["setup_breakdown"]
 
     # No measured CPU baseline exists (reference publishes none; R absent
     # here).  Extrapolate the CRAN bound: >=120 it/s at n=225 on 1 thread,
@@ -222,6 +225,8 @@ def main():
         **({"setup_time_warm_s": round(r["setup_time_warm"], 2)}
            if "setup_time_warm" in r else {}),
         "setup_breakdown_s": r["setup_breakdown"],
+        **({"setup_breakdown_warm_s": r["setup_breakdown_warm"]}
+           if "setup_breakdown_warm" in r else {}),
         "repeats": len(runs),
         "ips_runs": [round(v, 3) for v in ips_runs],
         "ips_min": round(min(ips_runs), 3),

@@ -101,11 +101,17 @@ def spamtree(
     cherrypick_same_margin, cherrypick_group_locations, mvbias : knot
         selection details for misaligned multivariate sampling designs.
     mcmc : dict(keep=, burn=, thin=).
-    settings : dict(adapting=, mcmcsd=, curvature_sd=, ram_reference_warmup=).
+    settings : dict(adapting=, mcmcsd=, curvature_sd=, ram_reference_warmup=,
+        const_model=, collect=, wire_dtype=, factor_dtype=, lazy_init=).
         mcmcsd None (default) uses a curvature-scaled initial proposal
         covariance (finite-difference Fisher diagonal at theta0); pass a
         scalar/matrix to override, or curvature_sd=False for the isotropic
-        scale-aware fallback.
+        scale-aware fallback.  collect="summary" accumulates posterior
+        moments on device (O(n) output).  wire_dtype controls the
+        device->host format of w draws (auto: float16 for f32 models).
+        factor_dtype="bfloat16" stores the propagated joint factors -- the
+        sweep's largest transients -- in bf16 with all math still at model
+        dtype (storage-only; see ModelStatic).
     prior : dict(btmlim=, toplim=, vlim=, set_unif_bounds=, beta=, tausq=,
         theta=).  beta is the Normal prior precision (scalar s -> s*I or a
         (p,p) matrix); tausq is the inverse-Gamma (a, b); theta enables an
@@ -150,7 +156,8 @@ def spamtree(
     mcmc = dict(keep=1000, burn=0, thin=1) | (mcmc or {})
     settings = dict(adapting=True, mcmcsd=None, curvature_sd=True,
                     ram_reference_warmup=False, const_model=None,
-                    collect="all", wire_dtype=None) | (settings or {})
+                    collect="all", wire_dtype=None,
+                    factor_dtype=None, lazy_init=None) | (settings or {})
     prior = dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
         beta=None, tausq=None, theta=None,
@@ -214,42 +221,71 @@ def spamtree(
 
     t_ = time.time()
     ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=dtype,
-                     block_multiple=block_multiple)
+                     block_multiple=block_multiple,
+                     factor_dtype=settings["factor_dtype"])
     if mesh is not None:
         from spamtree_tpu.parallel.sharding import shard_model
 
         ms = shard_model(ms, mesh)
     tb["stage_s"] = round(time.time() - t_, 2)
 
-    # ONE compiled pre-MCMC program (tuning.prepare_chain): the initial
-    # likelihood sweep plus, when curvature scaling is on, the w-warm Gibbs
-    # sweeps and the finite-difference Fisher-diagonal batch.  The rank-1 RAM
-    # adapter is slow to learn per-dimension scales in high-dim theta (15
-    # dims at q=3), which froze round-1 chains at 2-4% acceptance; the
-    # curvature diagonal starts RAM at the right metric for ~2*nt sweeps.
+    # Pre-MCMC tuning + initial state.  The curvature-scaled initial proposal
+    # covariance matters because rank-1 RAM is slow to learn per-dimension
+    # scales in high-dim theta (15 dims at q=3), which froze round-1 chains
+    # at 2-4% acceptance.  Two ways to get it:
+    #
+    # * lazy path (default whenever burn >= 1 and theta is sampled): the
+    #   curvature diagonal comes from a SUBSAMPLED model compiled for the
+    #   local CPU backend (seconds, zero remote compile), and the chain
+    #   state self-initializes inside the step program (init_state(lazy=
+    #   True): zero factors + logdetCi=-1e30 make the first ok proposal
+    #   accept).  Exactly ONE remote-compiled program per run remains -- the
+    #   sampling scan itself.  Round-3 measurement: the fused on-device
+    #   pre-MCMC program cost 360 s of remote compile for 0.3 s of run.
+    # * eager path (burn == 0, theta fixed, or settings["lazy_init"]=False):
+    #   tuning.prepare_chain fuses the initial sweep + curvature batch into
+    #   one on-device program, and every kept sample is exact from
+    #   iteration 1.
     do_curv = bool(settings["mcmcsd"] is None and settings["curvature_sd"]
                    and debug["sample_theta"])
-    from spamtree_tpu.model.tuning import curvature_sd_from_lls, prepare_chain
-
     start_tausq = 0.1 if starting["tausq"] is None else float(starting["tausq"])
-    precomputed, lls = prepare_chain(
-        ms, tspec.bounds, tspec.start, do_curvature=do_curv,
-        start_tausq=start_tausq, seed=seed, timings=tb,
-    )
-    if settings["mcmcsd"] is None:
+    lazy = settings["lazy_init"]
+    if lazy is None:
+        lazy = mcmc["burn"] > 0 and debug["sample_theta"]
+    tb["lazy_init"] = bool(lazy)
+    precomputed = None
+    if lazy:
+        if do_curv:
+            from spamtree_tpu.model.tuning import subsample_curvature_sd
+
+            settings["mcmcsd"] = subsample_curvature_sd(
+                cs, mvs, ys, xs, tspec.spec, tspec.bounds, tspec.start,
+                axis_cell_size=axis_size, K=K, start_tausq=start_tausq,
+                seed=seed, timings=tb,
+            )
+    else:
+        from spamtree_tpu.model.tuning import (
+            curvature_sd_from_lls,
+            prepare_chain,
+        )
+
+        precomputed, lls = prepare_chain(
+            ms, tspec.bounds, tspec.start, do_curvature=do_curv,
+            start_tausq=start_tausq, seed=seed, timings=tb,
+        )
         if do_curv:
             settings["mcmcsd"] = curvature_sd_from_lls(lls, tspec.n_theta)
-            if verbose:
-                d = np.sqrt(np.diag(settings["mcmcsd"]))
-                print(f"[tune] curvature proposal sd: {np.array2string(d, precision=4)}")
-        else:
-            # scale-aware isotropic fallback: the theta posterior contracts
-            # like 1/sqrt(n), so the reference's fixed 0.01 logit-scale
-            # proposals are orders of magnitude too wide at large n
-            nt = tspec.n_theta
-            settings["mcmcsd"] = min(
-                0.01, 1.0 / (nt * np.sqrt(max(na_which.sum(), 1)))
-            )
+    if settings["mcmcsd"] is None:
+        # scale-aware isotropic fallback: the theta posterior contracts
+        # like 1/sqrt(n), so the reference's fixed 0.01 logit-scale
+        # proposals are orders of magnitude too wide at large n
+        nt = tspec.n_theta
+        settings["mcmcsd"] = min(
+            0.01, 1.0 / (nt * np.sqrt(max(na_which.sum(), 1)))
+        )
+    elif do_curv and verbose:
+        d = np.sqrt(np.diag(settings["mcmcsd"]))
+        print(f"[tune] curvature proposal sd: {np.array2string(d, precision=4)}")
     beta_Vi = 0.01 if prior["beta"] is None else prior["beta"]
     tausq_ab = (2.01, 1.0) if prior["tausq"] is None else tuple(prior["tausq"])
     cfg = MCMCConfig(
@@ -274,7 +310,7 @@ def spamtree(
             start_beta=starting["beta"],
             start_tausq=start_tausq,
             start_w=start_w,
-            cfg=cfg, seed=sd, precomputed=precomputed,
+            cfg=cfg, seed=sd, precomputed=precomputed, lazy=lazy,
         )
 
     if n_chains > 1:

@@ -79,12 +79,22 @@ class ModelStatic:
         block_multiple: int = 1,
         chunk_bytes: float = 512e6,
         use_pallas: bool | None = None,
+        factor_dtype=None,
     ):
         n = sched.n
         self.sched = sched  # host-side only; excluded from the jit pytree
         self.limited_tree = sched.limited_tree
         self.spec = spec
         self.dtype = dtype
+        # storage dtype for the propagated joint inverse-Cholesky factors J
+        # (the largest in-sweep transients, (B, P, P) at deep levels).  They
+        # are only ever READ through the child-apply GEMMs in
+        # _apply_parent_factor -- never through the MH quadratic forms, where
+        # bf16's 2^-8 relative error would corrupt logaccept at |q| ~ n/2 --
+        # so "bfloat16" halves their HBM write+read traffic while all math
+        # (Schur complement, Cholesky, accumulation) stays at model dtype.
+        # None (default) stores J at model dtype.
+        self.factor_dtype = None if factor_dtype is None else jnp.dtype(factor_dtype)
         if use_pallas is None:
             from spamtree_tpu.ops.pallas_chol import use_pallas_chol
 
@@ -376,7 +386,7 @@ _MS_ARRAY_FIELDS = (
     "mv_onehot_obs", "mv_onehot", "XtX", "n_obs_by_q",
 )
 _MS_STATIC_FIELDS = (
-    "spec", "dtype", "use_pallas", "n", "p", "q", "limited_tree",
+    "spec", "dtype", "factor_dtype", "use_pallas", "n", "p", "q", "limited_tree",
     "level_chunks", "pred_chunks", "level_is_ref", "level_group_c",
     "level_aligned", "pred_aligned", "level_lp", "level_segs",
     "pred_lp", "serves_as_parent", "last_consumer", "seg_level",
@@ -599,6 +609,10 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                         J = Jp
                     else:
                         J = _assemble_joint(LAi, Rinv, H, P, S, gc, ms.dtype)
+                    if ms.factor_dtype is not None:
+                        # storage-only downcast: consumers upcast in-register
+                        # inside the child-apply GEMMs (see __init__ note)
+                        J = J.astype(ms.factor_dtype)
                 outs = (H, prec, J) if emit_joint else (H, prec)
                 return (logdet, ok, qn, qc), outs
             else:
@@ -727,13 +741,15 @@ def _joints_upto(ms: ModelStatic, params, upto: int):
             if ms.limited_tree:
                 _, J, _ = chol_inv_masked(Kcc, lvl.rmask,
                                           ms.use_pallas and S <= 64)
-                return carry, (J,)
-            _, Rinv, _ = chol_inv_masked(Rcc, lvl.rmask,
-                                         ms.use_pallas and S <= 64)
-            J = _assemble_joint(
-                LAi if P > 0 else None, Rinv, H if P > 0 else None,
-                P, S, gc, ms.dtype,
-            )
+            else:
+                _, Rinv, _ = chol_inv_masked(Rcc, lvl.rmask,
+                                             ms.use_pallas and S <= 64)
+                J = _assemble_joint(
+                    LAi if P > 0 else None, Rinv, H if P > 0 else None,
+                    P, S, gc, ms.dtype,
+                )
+            if ms.factor_dtype is not None:
+                J = J.astype(ms.factor_dtype)
             return carry, (J,)
 
         _, (J,) = _run_level(lvl_full, ms.level_chunks[t], None, body)

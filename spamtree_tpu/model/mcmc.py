@@ -93,7 +93,21 @@ def init_state(
     cfg: MCMCConfig = MCMCConfig(),
     seed: int = 0,
     precomputed: tuple | None = None,
+    lazy: bool = False,
 ) -> MCMCState:
+    """Build the initial sampler state.
+
+    ``lazy=True`` skips the initial likelihood sweep entirely: leveldata /
+    pred_data start as ZERO pytrees (shapes via ``jax.eval_shape``, no device
+    compute) and ``logdetCi = -1e30``, so the first in-chain theta proposal
+    that passes Cholesky accepts with probability 1 and installs real factors
+    -- the chain self-initializes inside the already-compiled step program.
+    The first burn iteration's w-Gibbs then samples from a no-spatial-prior
+    conditional (finite, discarded in burn), which is why callers must only
+    use lazy with burn >= 1 iteration and sample_theta on.  This removes the
+    last pre-MCMC device program: on this machine every program costs
+    minutes of remote XLA compilation (the reference's whole pre-MCMC phase
+    is seconds of R, spamtree_fit.R:204-324)."""
     n, p, q = ms.n, ms.p, ms.q
     nt = len(start_theta)
     theta = jnp.asarray(start_theta, dtype=ms.dtype)
@@ -113,6 +127,21 @@ def init_state(
     if np.any(st <= b[:, 0]) or np.any(st >= b[:, 1]):
         raise ValueError(
             f"starting theta outside its bounds: theta={st}, bounds={b.tolist()}"
+        )
+    if lazy:
+        ld_s, pd_s, _lg, _ok = jax.eval_shape(
+            lambda m, th, ww: sweep(m, th, ww), ms, theta, w
+        )
+        zero = lambda tree_s: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tree_s
+        )
+        return MCMCState(
+            key=jax.random.PRNGKey(seed),
+            w=w, beta=beta, tausq_inv=tausq_inv, XB=XB, theta=theta,
+            leveldata=zero(ld_s),
+            pred_data=zero(pd_s) if pd_s is not None else None,
+            logdetCi=jnp.asarray(-1e30, dtype=ms.dtype),
+            ram=ram, it=jnp.zeros((), dtype=jnp.int32),
         )
     if precomputed is not None:
         # initial sweep already ran inside tuning.prepare_chain's single

@@ -191,3 +191,116 @@ def curvature_proposal_sd(
     good = np.isfinite(curv) & (curv > 0)
     var[good] = np.clip(scale / curv[good], 1e-10, max_var)
     return np.diag(var)
+
+
+def subsample_curvature_sd(
+    cs: np.ndarray,
+    mvs: np.ndarray,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    spec,
+    bounds: np.ndarray,
+    theta0: np.ndarray,
+    axis_cell_size,
+    K,
+    n_sub: int = 20000,
+    n_warm_gibbs: int = 5,
+    fd_step: float = 0.15,
+    start_tausq: float = 0.1,
+    seed: int = 0,
+    timings: dict | None = None,
+) -> np.ndarray:
+    """Curvature proposal covariance from a SUBSAMPLED model, compiled for
+    the local CPU backend -- zero remote-compile cost.
+
+    On this machine every extra TPU program costs minutes of remote
+    compilation; round-3 measurement showed the fused pre-MCMC program
+    (prepare_chain) alone at ~360 s of compile for 0.3 s of run at n=1e5 --
+    ~70% of time-to-first-sample.  The curvature diagonal is a HEURISTIC
+    (initial RAM proposal metric; adaptation refines it), so it tolerates
+    two approximations: estimate on min(n, n_sub) observed rows, and scale
+    the curvature by n_obs/n_sub (the conditional log-likelihood Hessian
+    grows ~linearly in data size).  The small model compiles locally on the
+    CPU backend in seconds.
+
+    Also validates that theta0 passes the likelihood-sweep Cholesky on the
+    subsample (the start-value check init_state's eager sweep used to do).
+
+    Returns the (nt, nt) diagonal proposal covariance.
+    """
+    t0 = time.time()
+    nt = len(theta0)
+    obs = np.flatnonzero(np.isfinite(np.asarray(ys, dtype=np.float64)))
+    if len(obs) > n_sub:
+        sel = np.sort(np.random.default_rng(seed).choice(
+            obs, size=n_sub, replace=False))
+    else:
+        sel = obs
+    n_eff = len(sel)
+    scale_n = len(obs) / max(n_eff, 1)
+
+    from spamtree_tpu.tree.partition import make_tree
+    from spamtree_tpu.tree.schedule import build_schedule
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        tree = make_tree(
+            cs[sel], np.ones(n_eff, dtype=bool), np.asarray(mvs)[sel],
+            axis_cell_size=axis_cell_size, K=K,
+            rng=np.random.default_rng(seed),
+        )
+        sched = build_schedule(tree)
+        ms = ModelStatic(sched, cs[sel], np.asarray(mvs)[sel],
+                         np.asarray(ys)[sel], np.asarray(xs)[sel], spec,
+                         dtype=jnp.float32,
+                         use_pallas=False)  # CPU backend: no Pallas lowering
+        dt = ms.dtype
+        bnds = jnp.asarray(bounds, dtype=dt)
+        theta0j = jnp.asarray(theta0, dtype=dt)
+        z0 = transf_fwd(theta0j, bnds)
+        eye = jnp.eye(nt, dtype=dt)
+        zs = jnp.concatenate([z0[None], z0 + fd_step * eye,
+                              z0 - fd_step * eye])
+
+        @jax.jit
+        def _fd(m, theta, zs, key):
+            w0 = jnp.zeros((m.n + 1,), dtype=dt)
+            ld, _pd, _lgd, ok0 = sweep(m, theta, w0, build_pred=False)
+            tausq_inv = jnp.full((m.q,), 1.0 / start_tausq, dtype=dt)
+            XB0 = jnp.zeros((m.n + 1,), dtype=dt)
+
+            def body(w, k):
+                return gibbs_w(m, ld, w, tausq_inv, XB0, k), None
+
+            w, _ = jax.lax.scan(body, w0,
+                                jax.random.split(key, n_warm_gibbs))
+
+            def one(z):
+                th = transf_back(z, bnds)
+                _l, _p, lgd, okz, q_new, _q = sweep(
+                    m, th, w, build_pred=False, quad_prev=ld
+                )
+                return jnp.where(okz, lgd + q_new, jnp.nan)
+
+            return ok0, jax.lax.map(one, zs)
+
+        ok0, lls = jax.block_until_ready(
+            _fd(ms, theta0j, zs, jax.random.PRNGKey(seed))
+        )
+    if not bool(ok0):
+        raise RuntimeError(
+            "starting theta fails Cholesky in the likelihood sweep "
+            "(subsampled check); choose a different starting value or widen "
+            "the bounds"
+        )
+    lls = np.asarray(lls, dtype=np.float64)
+    f0, fp, fm = lls[0], lls[1 : 1 + nt], lls[1 + nt :]
+    curv = -(fp - 2.0 * f0 + fm) / (fd_step * fd_step) * scale_n
+    scale = 2.38**2 / nt
+    var = np.full(nt, 1e-4)
+    good = np.isfinite(curv) & (curv > 0)
+    var[good] = np.clip(scale / curv[good], 1e-10, 0.25)
+    if timings is not None:
+        timings["cpu_tuner_s"] = round(time.time() - t0, 2)
+        timings["cpu_tuner_n"] = n_eff
+    return np.diag(var)

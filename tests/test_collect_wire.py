@@ -91,4 +91,6 @@ def test_burn_rounds_up_to_chunks():
     r = spamtree(*_data(n=200), mcmc=dict(keep=20, burn=10, thin=1), **KW)
     assert r["burn_actual"] == 20  # rounded up to one 20-sample chunk
     assert r["w_mcmc"].shape[0] == 20
-    assert "setup_breakdown" in r and "prepare_compile_s" in r["setup_breakdown"]
+    # lazy path reports the CPU tuner; eager path the fused device program
+    tb = r["setup_breakdown"]
+    assert "cpu_tuner_s" in tb or "prepare_compile_s" in tb, tb
