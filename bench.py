@@ -106,7 +106,7 @@ CONFIGS = {
 
 
 def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
-               n_chains=1, verbose=False):
+               n_chains=1, verbose=False, collect="all"):
     from spamtree_tpu import spamtree
 
     c = CONFIGS[cfg_id]
@@ -120,6 +120,7 @@ def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
         y - ybar, X, coords, mv_id=mv,
         cell_size=cell_size,
         mcmc=dict(keep=keep, burn=burn, thin=thin),
+        settings=dict(collect=collect),
         verbose=verbose, precompile=True, n_chains=n_chains,
         **c["kwargs"],
     )
@@ -128,7 +129,12 @@ def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
     iters = out.get("burn_actual", burn) + keep * thin
     ips = iters / out["mcmc_time"]
     order = out["order"]
-    if n_chains == 1:
+    if collect == "summary":
+        # device-accumulated posterior mean; chains already averaged in
+        y_post = np.asarray(out["yhat_mean"]) + ybar
+        if y_post.ndim > 1:  # (C, n) per-chain moments -> pool
+            y_post = y_post.mean(axis=0)
+    elif n_chains == 1:
         y_post = out["yhat_mcmc"].mean(axis=0) + ybar
     else:
         y_post = out["yhat_mcmc"].mean(axis=(0, 1)) + ybar
@@ -150,12 +156,16 @@ def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
         # this bandwidth-bound sampler
         total_bytes = out["bytes_per_kept_sample"] * keep_equiv
         bw = total_bytes / out["mcmc_time"] / HBM_ENVELOPE_BYTES_S
+    setup = time.time() - t_setup - out["mcmc_time"]
+    sb = dict(out.get("setup_breakdown", {}))
+    instrumented = sum(v for k, v in sb.items() if k.endswith("_s"))
+    sb["uninstrumented_s"] = round(max(setup - instrumented, 0.0), 2)
     return dict(
         config=c["name"], n=int(len(y)), iters=iters,
         ips=ips, rmspe=rmspe, sd_y=sd,
         accept=out["accept_ratio"], mcmc_time=out["mcmc_time"],
-        setup_time=time.time() - t_setup - out["mcmc_time"],
-        setup_breakdown=out.get("setup_breakdown", {}),
+        setup_time=setup,
+        setup_breakdown=sb,
         tflops_per_sec=tflops, bandwidth_util=bw, n_chains=n_chains,
     )
 
@@ -171,6 +181,9 @@ def main():
     ap.add_argument("--n_per_q", type=int, default=None,
                     help="override config-3 size (legacy flag)")
     ap.add_argument("--verbose", type=int, default=0)
+    ap.add_argument("--collect", default="all", choices=["all", "summary"],
+                    help="summary = device-side posterior moments only "
+                         "(O(1) host traffic per chunk; the large-n mode)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="independent end-to-end trials; the headline value "
                          "is the MEDIAN it/s (this machine shows up to ~30%% "
@@ -188,7 +201,8 @@ def main():
     for i in range(max(args.repeats, 1)):
         runs.append(run_config(args.config, keep=args.keep, burn=args.burn,
                                thin=args.thin, cell_size=args.cell_size,
-                               n_chains=args.n_chains, verbose=args.verbose))
+                               n_chains=args.n_chains, verbose=args.verbose,
+                               collect=args.collect))
     ips_runs = [x["ips"] for x in runs]
     med = int(np.argsort(ips_runs)[len(ips_runs) // 2])
     r = dict(runs[med])  # headline = the median-throughput trial (copy:

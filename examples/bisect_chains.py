@@ -56,6 +56,10 @@ def main(n=10000, cell_size=25):
     ms = ModelStatic(sched, coords, mv0, y, X, tspec.spec)
     cfg = MCMCConfig(sample_predicts=False)
     st1 = init_state(ms, tspec.bounds, tspec.start, cfg=cfg, seed=0)
+    # match production chains (mcmc.stack_chain_states): vmapped chains drop
+    # the carried gram -- under vmap the accept-cond runs both branches, so
+    # carrying it would bill msg_gram every iteration instead of on accept
+    st1 = st1._replace(gram=())
     step = make_step(ms, tspec.bounds, cfg)
 
     for C in (1, 2, 4, 8):

@@ -1,6 +1,9 @@
 """Time one full MCMC transition (and its pieces) with the dependency-chained
 harness (see microbench_ops.py for why block_until_ready is not enough on the
-axon relay).  Usage: python examples/time_step.py [n_per_q] [cell_size]
+axon relay).
+Usage: python examples/time_step.py [n_per_q] [cell_size] [factor_dtype]
+(factor_dtype e.g. bfloat16 enables storage-only downcast of the propagated
+joint factors -- the A/B for VERDICT round-2 item 6)
 """
 
 import sys
@@ -9,7 +12,7 @@ import time
 import numpy as np
 
 
-def main(n_per_q=50000, cell_size=25):
+def main(n_per_q=50000, cell_size=25, factor_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -30,38 +33,54 @@ def main(n_per_q=50000, cell_size=25):
                      rng=np.random.default_rng(0))
     sched = build_schedule(tree)
     tspec = make_theta_spec(2, 2)
-    ms = ModelStatic(sched, coords, mv - 1, y, X, tspec.spec)
+    ms = ModelStatic(sched, coords, mv - 1, y, X, tspec.spec,
+                     factor_dtype=factor_dtype)
     cfg = MCMCConfig()
     st = init_state(ms, tspec.bounds, tspec.start, cfg=cfg, seed=0)
     step = make_step(ms, tspec.bounds, cfg)
 
-    def time_scan(predicting, k):
+    def time_scan(predicting, k, s0):
         @jax.jit
         def loop(s, keys):
             f = lambda ss, kk: (step(ss, kk, predicting), None)
             return jax.lax.scan(f, s, keys)[0]
 
         keys = jax.random.split(jax.random.PRNGKey(0), k)
-        r = loop(st, keys)
+        r = loop(s0, keys)
         float(jnp.sum(r.theta))  # force
         t0 = time.perf_counter()
-        r = loop(st, keys)
+        r = loop(s0, keys)
         float(jnp.sum(r.theta))
         return (time.perf_counter() - t0) * 1e3
 
-    for name, pred in (("burn step", False), ("keep step", True)):
-        t1 = time_scan(pred, 1)
-        t21 = time_scan(pred, 21)
-        print(f"{name}: {(t21 - t1) / 20:8.2f} ms/iter  (1-iter call {t1:.1f} ms)")
+    variants = [("", st)]
+    if len(st.gram) > 0:
+        # A/B the carried accept-refreshed Gram blocks against in-place
+        # recomputation (what vmapped chains do)
+        variants.append((" no-gram", st._replace(gram=())))
+    for suffix, s0 in variants:
+        for name, pred in (("burn step", False), ("keep step", True)):
+            t1 = time_scan(pred, 1, s0)
+            t21 = time_scan(pred, 21, s0)
+            print(f"{name}{suffix}: {(t21 - t1) / 20:8.2f} ms/iter  "
+                  f"(1-iter call {t1:.1f} ms)")
 
-    # pieces, same harness style: scan over a cheap carry perturbation
+    # pieces, same harness style: scan over a cheap carry perturbation.
+    # BOTH w and theta must be perturbed from the loop key: the factor chain
+    # depends only on theta, so a theta-invariant loop lets XLA hoist the
+    # entire sweep out of the scan (measured: 19 ms -> 0.2 ms "per iter").
     def piece(fn, k=20):
         @jax.jit
         def loop(s, keys):
             def body(carry, key):
                 s = carry
                 out = fn(s, key)
-                return s._replace(w=s.w + jnp.sum(out) * 1e-37), None
+                eps = jnp.sum(out) * 1e-37 + jax.random.uniform(
+                    key, (), dtype=s.theta.dtype
+                ) * 1e-30
+                return s._replace(
+                    w=s.w + eps, theta=s.theta * (1.0 + eps)
+                ), None
 
             return jax.lax.scan(body, s, keys)[0]
 
@@ -92,4 +111,5 @@ def main(n_per_q=50000, cell_size=25):
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    main(n, c)
+    fd = sys.argv[3] if len(sys.argv) > 3 else None
+    main(n, c, fd)

@@ -109,9 +109,13 @@ def spamtree(
         scale-aware fallback.  collect="summary" accumulates posterior
         moments on device (O(n) output).  wire_dtype controls the
         device->host format of w draws (auto: float16 for f32 models).
-        factor_dtype="bfloat16" stores the propagated joint factors -- the
-        sweep's largest transients -- in bf16 with all math still at model
-        dtype (storage-only; see ModelStatic).
+        factor_dtype="bfloat16" (EXPERIMENTAL, off by default) stores the
+        propagated joint factors -- the sweep's largest transients -- in
+        bf16 with all math still at model dtype.  30.0 -> 27.6 ms/iteration
+        at n=1e5, but at that scale the perturbation fails the Cholesky
+        ok-gate on every proposal and freezes the theta chain (measured
+        negative result, BENCH_RESULTS.md round 3); only usable at shallow
+        tree depth.
     prior : dict(btmlim=, toplim=, vlim=, set_unif_bounds=, beta=, tausq=,
         theta=).  beta is the Normal prior precision (scalar s -> s*I or a
         (p,p) matrix); tausq is the inverse-Gamma (a, b); theta enables an
@@ -205,7 +209,9 @@ def spamtree(
         # reproduce any specific start.
         from spamtree_tpu.model.params import auto_start_theta
 
+        t_ = time.time()
         start_theta = auto_start_theta(dd, q, cs, ys, mvs)
+        tb["start_theta_s"] = round(time.time() - t_, 2)
     tspec = make_theta_spec(
         dd, q,
         btmlim=prior["btmlim"] if prior["btmlim"] is not None else 1e-3,
@@ -219,10 +225,18 @@ def spamtree(
         mesh = _build_mesh(devices, n_chains)
     block_multiple = 1 if mesh is None else mesh.shape["blocks"]
 
+    fd = settings["factor_dtype"]
+    if fd in (None, False, "none", "off"):
+        # measured NEGATIVE result at scale (BENCH_RESULTS.md round 3):
+        # bf16-stored factors cut the in-scan step 30.0 -> 27.6 ms at n=1e5,
+        # but at that depth the accumulated factor perturbation fails the
+        # sweep's Cholesky ok-gate on every theta proposal -- the chain
+        # freezes at 0% acceptance (n=600 parity tests cannot see this).
+        # Storage stays at model dtype unless explicitly requested.
+        fd = None
     t_ = time.time()
     ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=dtype,
-                     block_multiple=block_multiple,
-                     factor_dtype=settings["factor_dtype"])
+                     block_multiple=block_multiple, factor_dtype=fd)
     if mesh is not None:
         from spamtree_tpu.parallel.sharding import shard_model
 
@@ -313,13 +327,16 @@ def spamtree(
             cfg=cfg, seed=sd, precomputed=precomputed, lazy=lazy,
         )
 
+    t_ = time.time()
     if n_chains > 1:
-        import jax
+        from spamtree_tpu.model.mcmc import run_mcmc_chains, stack_chain_states
 
-        from spamtree_tpu.model.mcmc import run_mcmc_chains
-
-        sts = [_mk_state(seed + c) for c in range(n_chains)]
-        states = jax.tree.map(lambda *a: jnp.stack(a), *sts)
+        # chains differ only in their RNG stream: build one state, then
+        # broadcast + per-chain keys in a single compiled program
+        states = stack_chain_states(
+            _mk_state(seed), seed + np.arange(n_chains)
+        )
+        tb["init_state_s"] = round(time.time() - t_, 2)
         res = run_mcmc_chains(ms, tspec.bounds, cfg, states, verbose=verbose,
                               precompile=precompile,
                               checkpoint_path=checkpoint_path,
@@ -328,6 +345,7 @@ def spamtree(
                               mesh=mesh)
     else:
         state = _mk_state(seed)
+        tb["init_state_s"] = round(time.time() - t_, 2)
         res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
                        precompile=precompile, checkpoint_path=checkpoint_path,
                        sink_dir=sink_dir, const_model=settings["const_model"],

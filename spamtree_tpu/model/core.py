@@ -520,7 +520,7 @@ def _run_level(lvl: LevelArrays, nc: int, carry, body):
 
 
 def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
-          quad_prev: tuple | None = None):
+          quad_prev: tuple | None = None, emit_pred_joint: bool = False):
     """Full root->leaf likelihood sweep for a theta value.
 
     Returns (leveldata tuple, pred_data, logdetCi scalar, ok flag), the
@@ -677,11 +677,27 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
     # predict_recompute instead.
     pred_data = None
     if ms.pred_arrays is not None and ms.pred_in_carry and build_pred:
-        pred_data = _pred_operators(ms, params, joints.get(ms.pred_lp))
+        if emit_pred_joint:
+            # return the raw deepest-reference joint factor instead of the
+            # built (H, r) operators: the MCMC step defers _pred_operators
+            # behind its accept-cond, so the ~73% rejected proposals never
+            # pay the prediction-operator build at all
+            pred_data = joints.get(ms.pred_lp)
+        else:
+            pred_data = _pred_operators(ms, params, joints.get(ms.pred_lp))
 
     if quad_prev is not None:
         return tuple(leveldata), pred_data, logdet, ok, qn, qc
     return tuple(leveldata), pred_data, logdet, ok
+
+
+def pred_operators_from_joint(ms: ModelStatic, theta, parent_joint) -> tuple:
+    """Build the prediction (H, r) operators from a theta and the raw
+    deepest-reference joint factor emitted by ``sweep(emit_pred_joint=True)``.
+    Called from the MCMC step's accept-cond so rejected proposals skip it."""
+    return _pred_operators(
+        ms, unpack_theta(theta.astype(ms.dtype), ms.spec), parent_joint
+    )
 
 
 def _pred_operators(ms: ModelStatic, params, parent_joint) -> tuple:
@@ -779,10 +795,48 @@ def quad_loglik(ms: ModelStatic, leveldata, w):
     return total
 
 
-def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None):
+def msg_gram(ms: ModelStatic, leveldata):
+    """Per-segment Gibbs-message Gram blocks G_aa = H_a' prec H_a.
+
+    These depend ONLY on the stored factors (H, prec), which change only when
+    a theta proposal is ACCEPTED -- so the sampler computes them once per
+    acceptance (make_step: lax.cond on accept, ~0.27 acceptance at the
+    benchmark configs) instead of inside every gibbs_w call.  The reference
+    rebuilds the equivalent Sigi_children products per Gibbs pass
+    (spamtree_model.cpp:1158-1210); here they are carried state.
+
+    Returns a tuple over levels of tuples over ancestor segments of
+    (B, s_a, s_a) arrays (empty tuple at parentless levels).
+    """
+    out = []
+    for t, lvl in enumerate(ms.levels):
+        data = leveldata[t]
+        P = lvl.prows.shape[1]
+        if P == 0:
+            out.append(())
+            continue
+        seg_off, seg_size = ms.level_segs[t]
+        Gs = []
+        for o, sa in zip(seg_off, seg_size):
+            H_a = data.H[:, :, o : o + sa]
+            if ms.level_is_ref[t]:
+                t_a = jnp.einsum("bst,btq->bsq", data.prec, H_a)
+            else:
+                t_a = data.prec[:, :, None] * H_a
+            Gs.append(jnp.einsum("bsp,bsq->bpq", H_a, t_a))
+        out.append(tuple(Gs))
+    return tuple(out)
+
+
+def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
+            gram=None):
     """Leaf->root blocked Gibbs update of w with child->parent scatter-add
     message accumulation (reference: gibbs_sample_w_std,
-    spamtree_model.cpp:1011-1226)."""
+    spamtree_model.cpp:1011-1226).
+
+    ``gram`` (from :func:`msg_gram`, recomputed only on theta acceptance)
+    supplies the per-segment message Gram blocks; when None they are formed
+    in place (standalone callers, warm-up sweeps)."""
     n = ms.n
     if y is None:
         y = ms.y
@@ -799,9 +853,12 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None):
         seg_off, seg_size = ms.level_segs[t]
         nc = ms.level_chunks[t]
         acc_t = acc.pop(t, None)
+        gram_t = None
+        if gram is not None and P > 0:
+            gram_t = gram[t]
 
         def level_body(w, args, P=P, is_ref=is_ref, acc_t=acc_t):
-            lvl, data, acc_sl = args
+            lvl, data, acc_sl, gram_sl = args
             B, S = lvl.rows.shape
             wpar = w[lvl.prows]  # (B, P)
             z = bigz[lvl.rows]
@@ -836,25 +893,29 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None):
 
             if P > 0:
                 # Gibbs messages to every parent (reference: .cpp:1158-1210).
-                # Ancestor a's padded rows occupy the static contiguous slice
-                # [off_a, off_a+s_a) of the parent layout, so only the
-                # per-ancestor diagonal blocks of the child Gram matrix
-                # H' prec H are formed, never the full (P, P).
+                # msg_full = H' prec (w_u - H w_par), formed as two matvecs
+                # (v = prec diff, then H'v) -- never materializing the
+                # (B, P, S) operator H' prec.  Ancestor a's padded rows
+                # occupy the static contiguous slice [off_a, off_a+s_a) of
+                # the parent layout; only the per-ancestor diagonal Gram
+                # blocks G_aa = H_a' prec H_a enter, and those come
+                # precomputed (msg_gram, refreshed on theta accept) or are
+                # formed in place.
+                diff = wu - hw_prior
                 if is_ref:
-                    AK = jnp.einsum("bsp,bst->bpt", data.H, data.prec)
+                    v = jnp.einsum("bst,bt->bs", data.prec, diff)
                 else:
-                    AK = jnp.einsum("bsp,bs->bps", data.H, data.prec)
-                # msg_full = AK (w_u - H w_par); per segment add back the
-                # own-segment coupling G_aa w_par[seg] (the sampled variable)
-                msg_full = jnp.einsum("bps,bs->bp", AK, wu) - jnp.einsum(
-                    "bps,bs->bp", AK, hw_prior
-                )
+                    v = data.prec * diff
+                msg_full = jnp.einsum("bsp,bs->bp", data.H, v)
                 Gs, vs = [], []
                 for a, (o, sa) in enumerate(zip(seg_off, seg_size)):
-                    AK_a = AK[:, o : o + sa, :]  # (B, sa, S)
-                    G_aa = jnp.einsum(
-                        "bps,bsq->bpq", AK_a, data.H[:, :, o : o + sa]
-                    )
+                    if gram_sl is not None:
+                        G_aa = gram_sl[a]
+                    else:
+                        H_a = data.H[:, :, o : o + sa]
+                        t_a = (jnp.einsum("bst,btq->bsq", data.prec, H_a)
+                               if is_ref else data.prec[:, :, None] * H_a)
+                        G_aa = jnp.einsum("bsp,bsq->bpq", H_a, t_a)
                     msg_a = msg_full[:, o : o + sa] + jnp.einsum(
                         "bpq,bq->bp", G_aa, wpar[:, o : o + sa]
                     )
@@ -864,26 +925,31 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None):
             return w, ()
 
         if nc == 1:
-            w, outs = level_body(w, (lvl_full, data_full, acc_t))
+            w, outs = level_body(w, (lvl_full, data_full, acc_t, gram_t))
         else:
             data_c = LevelData(
                 *[a.reshape(nc, a.shape[0] // nc, *a.shape[1:]) for a in data_full]
             )
-            acc_c = (
-                jax.tree.map(
-                    lambda a: a.reshape(nc, a.shape[0] // nc, *a.shape[1:]), acc_t
-                )
-                if acc_t is not None
-                else None
+            _chunk_tree = lambda tr: jax.tree.map(
+                lambda a: a.reshape(nc, a.shape[0] // nc, *a.shape[1:]), tr
             )
+            acc_c = _chunk_tree(acc_t) if acc_t is not None else None
+            gram_c = _chunk_tree(gram_t) if gram_t is not None else None
 
-            def chunk_body(w, args, acc_is_none=acc_t is None):
-                lvl, data, acc_sl = args
-                return level_body(w, (lvl, data, None if acc_is_none else acc_sl))
+            def chunk_body(w, args, acc_is_none=acc_t is None,
+                           gram_is_none=gram_t is None):
+                lvl, data, acc_sl, gram_sl = args
+                return level_body(w, (
+                    lvl, data,
+                    None if acc_is_none else acc_sl,
+                    None if gram_is_none else gram_sl,
+                ))
 
+            filler = _chunked(lvl_full, nc)  # structural stand-in, unread
             xs = (
                 _chunked(lvl_full, nc), data_c,
-                acc_c if acc_t is not None else _chunked(lvl_full, nc),
+                acc_c if acc_t is not None else filler,
+                gram_c if gram_t is not None else filler,
             )
             w, outs = jax.lax.scan(chunk_body, w, xs)
             outs = jax.tree.map(

@@ -24,6 +24,8 @@ from spamtree_tpu.model.core import (
     gibbs_beta,
     gibbs_tausq,
     gibbs_w,
+    msg_gram,
+    pred_operators_from_joint,
     predict,
     predict_recompute,
     quad_loglik,
@@ -45,6 +47,11 @@ class MCMCState(NamedTuple):
     logdetCi: jax.Array
     ram: RAMState
     it: jax.Array  # iteration counter for RAM warmup
+    # per-segment Gibbs-message Gram blocks (core.msg_gram), refreshed only
+    # on theta acceptance; () disables the carried-gram path (vmapped chains:
+    # lax.cond degenerates to both-branches under vmap, so chains recompute
+    # in place inside gibbs_w instead)
+    gram: tuple = ()
 
 
 class MCMCConfig(NamedTuple):
@@ -110,18 +117,12 @@ def init_state(
     is seconds of R, spamtree_fit.R:204-324)."""
     n, p, q = ms.n, ms.p, ms.q
     nt = len(start_theta)
-    theta = jnp.asarray(start_theta, dtype=ms.dtype)
     beta0 = np.zeros(p) if start_beta is None else np.asarray(start_beta)
-    beta = jnp.asarray(np.repeat(beta0[:, None], q, axis=1), dtype=ms.dtype)
-    tausq_inv = jnp.full((q,), 1.0 / start_tausq, dtype=ms.dtype)
-    w0 = np.zeros(n + 1) if start_w is None else np.append(np.asarray(start_w), 0.0)
-    w = jnp.asarray(w0, dtype=ms.dtype)
-    XBq = ms.X @ beta
-    XB = jnp.append(jnp.sum(XBq * ms.mv_onehot, axis=1), jnp.zeros((1,), dtype=ms.dtype))
+    beta_h = np.repeat(beta0[:, None], q, axis=1)
+    w_h = np.zeros(n + 1) if start_w is None else np.append(np.asarray(start_w), 0.0)
     sd = np.asarray(cfg.mcmcsd)
     if sd.ndim < 2:
         sd = np.eye(nt) * float(sd)
-    ram = ram_init(jnp.asarray(sd, dtype=ms.dtype))
     b = np.asarray(bounds, dtype=np.float64)
     st = np.asarray(start_theta, dtype=np.float64)
     if np.any(st <= b[:, 0]) or np.any(st >= b[:, 1]):
@@ -129,28 +130,41 @@ def init_state(
             f"starting theta outside its bounds: theta={st}, bounds={b.tolist()}"
         )
     if lazy:
-        ld_s, pd_s, _lg, _ok = jax.eval_shape(
-            lambda m, th, ww: sweep(m, th, ww), ms, theta, w
+        # ONE jitted program builds the whole state.  Constructing the zero
+        # pytree leaf-by-leaf with jnp.zeros costs one tiny remote-compiled
+        # dispatch per distinct shape on the axon backend (~40 of them, ~60 s
+        # of the cold setup at n=1e5); the fused builder is a single fill
+        # program, and is cached on the model so extra chains reuse it.
+        dt = np.dtype(ms.dtype)
+        build = _lazy_builder(ms, nt)
+        return build(
+            ms.X, ms.mv_onehot, np.int64(seed), w_h.astype(dt),
+            beta_h.astype(dt), np.full((q,), 1.0 / start_tausq, dt),
+            st.astype(dt), sd.astype(dt),
         )
-        zero = lambda tree_s: jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype), tree_s
-        )
-        return MCMCState(
-            key=jax.random.PRNGKey(seed),
-            w=w, beta=beta, tausq_inv=tausq_inv, XB=XB, theta=theta,
-            leveldata=zero(ld_s),
-            pred_data=zero(pd_s) if pd_s is not None else None,
-            logdetCi=jnp.asarray(-1e30, dtype=ms.dtype),
-            ram=ram, it=jnp.zeros((), dtype=jnp.int32),
-        )
+    theta = jnp.asarray(start_theta, dtype=ms.dtype)
+    beta = jnp.asarray(beta_h, dtype=ms.dtype)
+    tausq_inv = jnp.full((q,), 1.0 / start_tausq, dtype=ms.dtype)
+    w = jnp.asarray(w_h, dtype=ms.dtype)
+    XBq = ms.X @ beta
+    XB = jnp.append(jnp.sum(XBq * ms.mv_onehot, axis=1), jnp.zeros((1,), dtype=ms.dtype))
+    ram = ram_init(jnp.asarray(sd, dtype=ms.dtype))
     if precomputed is not None:
         # initial sweep already ran inside tuning.prepare_chain's single
         # compiled program (leveldata depends on theta only, not on w)
-        leveldata, pred_data, logdet, ok = precomputed
+        if len(precomputed) == 5:
+            leveldata, pred_data, logdet, ok, gram = precomputed
+        else:
+            leveldata, pred_data, logdet, ok = precomputed
+            gram = jax.jit(msg_gram)(ms, leveldata)
     else:
-        leveldata, pred_data, logdet, ok = jax.jit(
-            lambda m, th, ww: sweep(m, th, ww)
-        )(ms, theta, w)
+        def _init_sweep(m, th, ww):
+            ld, pd, lg, okk = sweep(m, th, ww)
+            return ld, pd, lg, okk, msg_gram(m, ld)
+
+        leveldata, pred_data, logdet, ok, gram = jax.jit(_init_sweep)(
+            ms, theta, w
+        )
     if not bool(ok):
         # mirror load_state: a start that fails Cholesky would otherwise
         # produce an all-NaN chain without tripping the finite-theta guard
@@ -162,8 +176,71 @@ def init_state(
         key=jax.random.PRNGKey(seed),
         w=w, beta=beta, tausq_inv=tausq_inv, XB=XB, theta=theta,
         leveldata=leveldata, pred_data=pred_data, logdetCi=logdet, ram=ram,
-        it=jnp.zeros((), dtype=jnp.int32),
+        it=jnp.zeros((), dtype=jnp.int32), gram=gram,
     )
+
+
+def _lazy_builder(ms: ModelStatic, nt: int):
+    """One jitted program that materializes the full lazy MCMCState (zero
+    leveldata/pred_data + XB + RAM chol + PRNGKey).  Cached on the model
+    instance so every chain reuses the same compiled program."""
+    cache = ms.__dict__.setdefault("_lazy_init_cache", {})
+    fn = cache.get(nt)
+    if fn is not None:
+        return fn
+    th_s = jax.ShapeDtypeStruct((nt,), ms.dtype)
+    w_s = jax.ShapeDtypeStruct((ms.n + 1,), ms.dtype)
+    ld_s, pd_s, _lg, _ok = jax.eval_shape(
+        lambda m, th, ww: sweep(m, th, ww), ms, th_s, w_s
+    )
+    g_s = jax.eval_shape(msg_gram, ms, ld_s)
+
+    @jax.jit
+    def build(X, mv_onehot, seed, w, beta, tausq_inv, theta, sd):
+        XB = jnp.append(
+            jnp.sum((X @ beta) * mv_onehot, axis=1),
+            jnp.zeros((1,), dtype=ms.dtype),
+        )
+        zero = lambda t: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), t
+        )
+        return MCMCState(
+            key=jax.random.PRNGKey(seed),
+            w=w, beta=beta, tausq_inv=tausq_inv, XB=XB, theta=theta,
+            leveldata=zero(ld_s),
+            pred_data=zero(pd_s) if pd_s is not None else None,
+            logdetCi=jnp.asarray(-1e30, dtype=ms.dtype),
+            ram=ram_init(sd),
+            it=jnp.zeros((), dtype=jnp.int32),
+            # zero gram is consistent with the zero factors; the first
+            # accepted proposal installs the real blocks via the step's cond
+            gram=zero(g_s),
+        )
+
+    cache[nt] = build
+    return build
+
+
+def stack_chain_states(state: MCMCState, seeds) -> MCMCState:
+    """Broadcast one chain state to C chains with per-chain RNG keys, as a
+    single compiled program (a leaf-by-leaf jnp.stack costs one remote
+    dispatch per leaf on this machine's axon backend)."""
+    seeds = jnp.asarray(np.asarray(seeds, dtype=np.int64))
+
+    # vmapped chains drop the carried gram: under vmap the accept-cond
+    # degenerates to both-branches-always, so chains recompute the message
+    # Gram blocks in place inside gibbs_w (state.gram == () selects that)
+    state = state._replace(gram=())
+
+    @jax.jit
+    def _stack(st, sds):
+        C = sds.shape[0]
+        out = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (C,) + a.shape), st
+        )
+        return out._replace(key=jax.vmap(jax.random.PRNGKey)(sds))
+
+    return _stack(state, seeds)
 
 
 def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
@@ -183,9 +260,12 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
         w, leveldata, logdetCi, theta = state.w, state.leveldata, state.logdetCi, state.theta
         pred_data = state.pred_data
         ram = state.ram
+        gram = state.gram
+        use_gram = len(gram) > 0  # static: () = recompute-in-place mode
 
         if cfg.sample_w:
-            w = gibbs_w(ms, leveldata, w, state.tausq_inv, state.XB, kw)
+            w = gibbs_w(ms, leveldata, w, state.tausq_inv, state.XB, kw,
+                        gram=gram if use_gram else None)
 
         if cfg.sample_theta:
             U = jax.random.normal(kt, (theta.shape[0],), dtype=ms.dtype)
@@ -194,8 +274,8 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             # both quadratic forms (proposal and current factors) are fused
             # into the proposal sweep's level loop -- no standalone
             # quad_loglik passes over the stored factors
-            new_ld, new_pd, new_logdet, ok, q_new, q_cur = sweep(
-                ms, prop, w, quad_prev=leveldata
+            new_ld, new_pj, new_logdet, ok, q_new, q_cur = sweep(
+                ms, prop, w, quad_prev=leveldata, emit_pred_joint=True
             )
             cur_ll = logdetCi + q_cur
             new_ll = new_logdet + q_new
@@ -212,10 +292,35 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             leveldata = jax.tree.map(
                 lambda a, b: jnp.where(accepted, a, b), new_ld, leveldata
             )
-            if pred_data is not None:
-                pred_data = jax.tree.map(
-                    lambda a, b: jnp.where(accepted, a, b), new_pd, pred_data
+            # derived-from-factors state (prediction operators, message Gram
+            # blocks) is pure in (theta, factors) and refreshed in ONE
+            # accept-cond: the ~73% rejected proposals skip both builds
+            # entirely.  (Vmapped chains execute both cond branches -- same
+            # cost as an always-build -- and carry gram=() to opt out of the
+            # Gram half.)
+            refresh_pred = pred_data is not None
+            if refresh_pred or use_gram:
+                def _on_accept(op):
+                    prop_, pj_, ld_ = op
+                    return (
+                        msg_gram(ms, ld_) if use_gram else (),
+                        pred_operators_from_joint(ms, prop_, pj_)
+                        if refresh_pred else None,
+                    )
+
+                def _on_reject(op):
+                    return (
+                        state.gram if use_gram else (),
+                        state.pred_data if refresh_pred else None,
+                    )
+
+                new_gram, new_pred = jax.lax.cond(
+                    accepted, _on_accept, _on_reject, (prop, new_pj, new_ld)
                 )
+                if use_gram:
+                    gram = new_gram
+                if refresh_pred:
+                    pred_data = new_pred
             if cfg.adapting:
                 alpha = jnp.where(
                     ok & finite, jnp.minimum(1.0, jnp.exp(logaccept)), 0.0
@@ -253,7 +358,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
         return MCMCState(
             key=state.key, w=w, beta=beta, tausq_inv=tausq_inv, XB=XB,
             theta=theta, leveldata=leveldata, pred_data=pred_data,
-            logdetCi=logdetCi, ram=ram, it=state.it + 1,
+            logdetCi=logdetCi, ram=ram, it=state.it + 1, gram=gram,
         )
 
     return step

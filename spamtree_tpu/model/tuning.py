@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spamtree_tpu.model.core import ModelStatic, gibbs_w, quad_loglik, sweep
+from spamtree_tpu.model.core import (
+    ModelStatic,
+    gibbs_w,
+    msg_gram,
+    quad_loglik,
+    sweep,
+)
 from spamtree_tpu.model.transforms import transf_back, transf_fwd
 
 
@@ -84,8 +90,9 @@ def prepare_chain(
     def _prep(m, theta, zs, key):
         w0 = jnp.zeros((m.n + 1,), dtype=dt)
         ld, pd, logdet, ok = sweep(m, theta, w0, build_pred=True)
+        gram = msg_gram(m, ld)
         if not do_curvature:
-            return ld, pd, logdet, ok
+            return ld, pd, logdet, ok, gram
         # settle w with a few Gibbs sweeps at theta0 so the conditional
         # target ll(theta | w) carries data information
         tausq_inv = jnp.full((m.q,), 1.0 / start_tausq, dtype=dt)
@@ -107,7 +114,7 @@ def prepare_chain(
             return jnp.where(okz, lgd + q_new, jnp.nan)
 
         lls = jax.lax.map(one, zs)
-        return ld, pd, logdet, ok, lls
+        return ld, pd, logdet, ok, gram, lls
 
     jitted = jax.jit(_prep)
     t0 = time.time()
@@ -120,10 +127,10 @@ def prepare_chain(
         timings["prepare_compile_s"] = round(t1 - t0, 2)
         timings["prepare_run_s"] = round(t2 - t1, 2)
     if do_curvature:
-        ld, pd, logdet, ok, lls = out
-        return (ld, pd, logdet, ok), lls
-    ld, pd, logdet, ok = out
-    return (ld, pd, logdet, ok), None
+        ld, pd, logdet, ok, gram, lls = out
+        return (ld, pd, logdet, ok, gram), lls
+    ld, pd, logdet, ok, gram = out
+    return (ld, pd, logdet, ok, gram), None
 
 
 def curvature_proposal_sd(

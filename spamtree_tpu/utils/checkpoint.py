@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from spamtree_tpu.model.core import ModelStatic, sweep
+from spamtree_tpu.model.core import ModelStatic, msg_gram, sweep
 from spamtree_tpu.model.mcmc import MCMCState
 from spamtree_tpu.model.ram import RAMState
 
@@ -49,10 +49,12 @@ def load_state(path: str, ms: ModelStatic) -> MCMCState:
     @jax.jit
     def sweep_fn(m, t, ww):
         if stacked:
-            return jax.vmap(lambda tt, www: sweep(m, tt, www))(t, ww)
-        return sweep(m, t, ww)
+            # chains carry no gram (see mcmc.stack_chain_states)
+            return jax.vmap(lambda tt, www: sweep(m, tt, www))(t, ww) + ((),)
+        ld, pd, lg, okk = sweep(m, t, ww)
+        return ld, pd, lg, okk, msg_gram(m, ld)
 
-    leveldata, pred_data, logdet, ok = sweep_fn(ms, theta, w)
+    leveldata, pred_data, logdet, ok, gram = sweep_fn(ms, theta, w)
     if not bool(jnp.all(ok)):
         raise RuntimeError("checkpointed theta fails Cholesky on rebuild")
     ram = RAMState(
@@ -74,4 +76,5 @@ def load_state(path: str, ms: ModelStatic) -> MCMCState:
         logdetCi=logdet,
         ram=ram,
         it=jnp.asarray(z["it"], dtype=jnp.int32),
+        gram=gram,
     )
