@@ -2,11 +2,11 @@
 
 Round-2 measured aggregate chain throughput at n=1e4 of 2.3x at C=2 but only
 2.7x at C=4 ("fills execution slack" was asserted, not profiled).  This
-harness times the vmapped transition and its two dominant phases at
-C = 1, 2, 4, 8 with the dependency-chained loop (the axon relay executes
-lazily; see microbench_ops.py), and reports XLA's own bytes-accessed per
-iteration so the implied HBM bandwidth can be compared against the measured
-~405 GB/s single-chip envelope.  If implied GB/s plateaus near the envelope,
+harness times the vmapped transition at C = 1, 2, 4, 8 with the
+dependency-chained loop (the axon relay executes lazily; see
+microbench_ops.py), and reports XLA's own bytes-accessed per iteration so
+the implied HBM bandwidth can be compared against the measured ~405 GB/s
+single-chip envelope.  If implied GB/s plateaus near the envelope,
 chains contend on HBM (and the multi-chip chains axis is the fix); if it
 plateaus far below, the binding resource is kernel-launch/serialization of
 the per-level loop.
@@ -20,15 +20,36 @@ import time
 import numpy as np
 
 
-def _timed(loop, args, iters=8):
-    lo, hi = loop(1), loop(1 + iters)
-    float(lo(*args)); float(hi(*args))
-    t0 = time.perf_counter()
-    float(lo(*args))
-    t1 = time.perf_counter()
-    float(hi(*args))
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / iters * 1e3
+def _timed(run, s, C, iters=50, reps=3):
+    """Per-iteration ms from (long scan - short scan), min over reps.
+
+    Two landmines on this machine (docs/DESIGN.md §6): the 50 ms host round
+    trip swamps single-iteration differences, and re-running a
+    byte-identical computation is served from the relay's result cache, so
+    repeated timings of the same (program, inputs) pair measure nothing
+    (observed: negative 'per-iter' times).  Every timed call here therefore
+    gets FRESH key material, and the per-iteration cost is the difference
+    of min-over-reps scan times at k=1 vs k=1+iters."""
+    import jax.numpy as jnp
+
+    def keys(rep, k):
+        r = np.random.default_rng(7919 * rep + k)
+        return jnp.asarray(
+            r.integers(0, 2**31 - 1, size=(k, C, 2)).astype(np.uint32)
+        )
+
+    float(run(s, keys(99, 1)))           # compile both shapes
+    float(run(s, keys(99, 1 + iters)))
+    t = {}
+    for k in (1, 1 + iters):
+        best = float("inf")
+        for rep in range(reps):
+            ks = keys(rep, k)
+            t0 = time.perf_counter()
+            float(run(s, ks))
+            best = min(best, time.perf_counter() - t0)
+        t[k] = best
+    return (t[1 + iters] - t[1]) / iters * 1e3
 
 
 def main(n=10000, cell_size=25):
@@ -37,7 +58,7 @@ def main(n=10000, cell_size=25):
 
     sys.path.insert(0, ".")
     from bench import make_univariate
-    from spamtree_tpu.model.core import ModelStatic, gibbs_w, sweep
+    from spamtree_tpu.model.core import ModelStatic
     from spamtree_tpu.model.mcmc import MCMCConfig, init_state, make_step
     from spamtree_tpu.model.params import make_theta_spec
     from spamtree_tpu.tree.partition import make_tree
@@ -68,46 +89,13 @@ def main(n=10000, cell_size=25):
         )
         vstep = jax.vmap(lambda s, k: step(s, k, False), in_axes=(0, 0))
 
-        def loop_full(k):
-            @jax.jit
-            def run(s, keys):
-                def body(carry, kk):
-                    return vstep(carry, kk), None
-                return jax.lax.scan(body, s, keys)[0]
+        @jax.jit
+        def run(s, keys):
+            def body(carry, kk):
+                return vstep(carry, kk), None
+            return jnp.sum(jax.lax.scan(body, s, keys)[0].theta)
 
-            keys = jax.random.split(jax.random.PRNGKey(0), k * C).reshape(
-                k, C, 2
-            )
-            return lambda s: jnp.sum(run(s, keys).theta)
-
-        t_full = _timed(lambda k: (lambda s: loop_full(k)(s)), (sts,))
-
-        # phase pieces under the same vmap (carry perturbation keeps the
-        # chain of dependency so the relay cannot elide iterations)
-        def piece(fn):
-            def mk(k):
-                @jax.jit
-                def run(s, keys):
-                    def body(carry, kk):
-                        out = jax.vmap(fn, in_axes=(0, 0))(carry, kk)
-                        return carry._replace(
-                            w=carry.w + jnp.sum(out) * 1e-37
-                        ), None
-                    return jax.lax.scan(body, s, keys)[0]
-
-                keys = jax.random.split(jax.random.PRNGKey(0), k * C).reshape(
-                    k, C, 2
-                )
-                return lambda s: jnp.sum(run(s, keys).w)
-            return _timed(mk, (sts,))
-
-        t_gw = piece(
-            lambda s, k: gibbs_w(ms, s.leveldata, s.w, s.tausq_inv, s.XB, k)
-        )
-        t_sw = piece(
-            lambda s, k: sweep(ms, s.theta, s.w, build_pred=False,
-                               quad_prev=s.leveldata)[2]
-        )
+        t_full = _timed(run, sts, C)
 
         # XLA's bytes for ONE vstep at this C (cost model, not measured)
         try:
@@ -118,9 +106,12 @@ def main(n=10000, cell_size=25):
             gb = float(ca.get("bytes accessed", 0.0)) / 1e9
         except Exception:
             gb = float("nan")
+        agg = C / t_full * 1e3
+        if C == 1:
+            agg1 = agg
         print(
-            f"C={C}: full {t_full:7.2f} ms/iter  gibbs_w {t_gw:6.2f}  "
-            f"sweep {t_sw:6.2f}  bytes/iter {gb:6.3f} GB  "
+            f"C={C}: full {t_full:7.2f} ms/iter  aggregate {agg:7.0f} "
+            f"chain-iters/s ({agg / agg1:4.2f}x)  bytes/iter {gb:6.3f} GB  "
             f"implied {gb / (t_full * 1e-3):6.0f} GB/s",
             flush=True,
         )

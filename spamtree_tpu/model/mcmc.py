@@ -289,38 +289,38 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             accepted = (u < acceptp) & ok
             theta = jnp.where(accepted, prop, theta)
             logdetCi = jnp.where(accepted, new_logdet, logdetCi)
-            leveldata = jax.tree.map(
-                lambda a, b: jnp.where(accepted, a, b), new_ld, leveldata
-            )
-            # derived-from-factors state (prediction operators, message Gram
-            # blocks) is pure in (theta, factors) and refreshed in ONE
-            # accept-cond: the ~73% rejected proposals skip both builds
-            # entirely.  (Vmapped chains execute both cond branches -- same
-            # cost as an always-build -- and carry gram=() to opt out of the
-            # Gram half.)
+            # The factor swap and the derived-from-factors state (prediction
+            # operators, message Gram blocks -- pure in (theta, factors))
+            # all resolve in ONE accept-cond: a rejected iteration forwards
+            # the old buffers (vs jnp.where's read-both-write-one over the
+            # ~155 MB factor set at n=1e5) and skips both derived builds.
+            # (Vmapped chains execute both cond branches -- same cost as an
+            # always-build -- and carry gram=() to opt out of the Gram half.)
             refresh_pred = pred_data is not None
-            if refresh_pred or use_gram:
-                def _on_accept(op):
-                    prop_, pj_, ld_ = op
-                    return (
-                        msg_gram(ms, ld_) if use_gram else (),
-                        pred_operators_from_joint(ms, prop_, pj_)
-                        if refresh_pred else None,
-                    )
 
-                def _on_reject(op):
-                    return (
-                        state.gram if use_gram else (),
-                        state.pred_data if refresh_pred else None,
-                    )
-
-                new_gram, new_pred = jax.lax.cond(
-                    accepted, _on_accept, _on_reject, (prop, new_pj, new_ld)
+            def _on_accept(op):
+                prop_, pj_, ld_ = op
+                return (
+                    ld_,
+                    msg_gram(ms, ld_) if use_gram else (),
+                    pred_operators_from_joint(ms, prop_, pj_)
+                    if refresh_pred else None,
                 )
-                if use_gram:
-                    gram = new_gram
-                if refresh_pred:
-                    pred_data = new_pred
+
+            def _on_reject(op):
+                return (
+                    state.leveldata,
+                    state.gram if use_gram else (),
+                    state.pred_data if refresh_pred else None,
+                )
+
+            leveldata, new_gram, new_pred = jax.lax.cond(
+                accepted, _on_accept, _on_reject, (prop, new_pj, new_ld)
+            )
+            if use_gram:
+                gram = new_gram
+            if refresh_pred:
+                pred_data = new_pred
             if cfg.adapting:
                 alpha = jnp.where(
                     ok & finite, jnp.minimum(1.0, jnp.exp(logaccept)), 0.0
@@ -574,10 +574,23 @@ def run_mcmc(
     # mh_adapt.h:137-148, printed from spamtree_fit.cpp:334-372)
     prev_acc, prev_prop, prev_t, prev_it = 0.0, 0.0, t0, 0
 
-    def _report(phase, done, total, state, iters_done):
+    def _snap(st):
+        """Tiny report fields as FRESH device buffers (the +0 escapes the
+        carry's donation, so the snapshot stays valid across the next
+        chunk's dispatch in pipelined mode) with async host copies; becomes
+        ready exactly when its chunk finishes."""
+        parts = (st.ram.accept_count + 0, st.ram.propos_count + 0,
+                 st.theta + 0, 1.0 / st.tausq_inv)
+        for a in parts:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return parts
+
+    def _report(phase, done, total, snap, iters_done):
         nonlocal prev_acc, prev_prop, prev_t, prev_it
-        jax.block_until_ready(state.w)
-        acc, prop = float(state.ram.accept_count), float(state.ram.propos_count)
+        acc, prop = float(snap[0]), float(snap[1])
         cum = acc / max(prop, 1.0)
         roll = (acc - prev_acc) / max(prop - prev_prop, 1.0)
         now = time.time()
@@ -587,10 +600,8 @@ def run_mcmc(
             f"accept {roll:.2%} (window) {cum:.2%} (cumulative)"
         )
         if int(verbose) >= 2:  # printall equivalent (spamtree_fit.cpp:344-350)
-            th = np.asarray(state.theta)
-            ts = 1.0 / np.asarray(state.tausq_inv)
-            print(f"  theta = {np.array2string(th, precision=4)}")
-            print(f"  tausq = {np.array2string(ts, precision=5)}")
+            print(f"  theta = {np.array2string(np.asarray(snap[2]), precision=4)}")
+            print(f"  tausq = {np.array2string(np.asarray(snap[3]), precision=5)}")
         prev_acc, prev_prop, prev_t, prev_it = acc, prop, now, iters_done
 
     _phase_dbg = bool(os.environ.get("SPAMTREE_PHASE_DEBUG"))
@@ -609,7 +620,7 @@ def run_mcmc(
 
             save_state(checkpoint_path, carry[0]._replace(key=key))
         if verbose:
-            _report("burn", (bi + 1) * ipc, burn_actual, carry[0],
+            _report("burn", (bi + 1) * ipc, burn_actual, _snap(carry[0]),
                     (bi + 1) * ipc)
     state, _acc = carry
     state = state._replace(key=key)
@@ -640,7 +651,12 @@ def run_mcmc(
     pipeline = checkpoint_path is None
     pending = None  # (device arrays, samples to take) of the previous chunk
 
-    def _drain(dev_outs, m_take):
+    def _drain(dev_outs, m_take, rep_snap):
+        # rep_snap = _snap() of the carry as of the END of the chunk being
+        # drained: in pipelined mode the live `state` is already one
+        # dispatched chunk ahead, and reporting from it makes the final
+        # report a zero-delta (observed: "0.0ms/iter, accept 0.00%
+        # (window)" on the last chunk)
         nonlocal drained
         if summary:
             beta_s, tausq_s, theta_s = [
@@ -671,9 +687,11 @@ def run_mcmc(
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
+            # checkpointing disables pipelining, so the live state IS the
+            # just-drained chunk's state here
             save_state(checkpoint_path, state)
         if verbose:
-            _report("keep", drained, cfg.keep, state,
+            _report("keep", drained, cfg.keep, rep_snap,
                     burn_actual + drained * cfg.thin)
         if int(verbose) >= 3:
             # true per-iteration printall (reference spamtree_fit.cpp:344-350
@@ -708,9 +726,10 @@ def run_mcmc(
                 _drain(*pending)
                 pending = None
             if pipeline:
-                pending = (cur, take) if cur is not None else None
+                pending = ((cur, take, _snap(state) if verbose else None)
+                           if cur is not None else None)
             elif cur is not None:
-                _drain(cur, take)
+                _drain(cur, take, _snap(state) if verbose else None)
     except KeyboardInterrupt:
         print("MCMC interrupted; returning partial results.")
         if pending is not None:

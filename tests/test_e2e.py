@@ -103,6 +103,24 @@ def test_vignette_bivariate_misaligned():
     assert 0.003 < res["accept"] < 0.9
 
 
+def test_no_missing_thinned():
+    """Fully-observed data (no NA -> the prediction level is absent from
+    the tree, reference: find_nan.cpp + spamtree_fit.R NA split) with
+    thin=2: kept draws subsample the chain and yhat covers every row."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=11)
+    out = spamtree(
+        y_full, X, coords, mcmc=dict(keep=60, burn=60, thin=2),
+        dtype=jnp.float64, seed=5,
+    )
+    assert out["yhat_mcmc"].shape == (60, len(y_full))
+    assert np.isfinite(out["yhat_mcmc"]).all()
+    beta_hat = out["beta_mcmc"][:, :, 0].mean(axis=1)
+    assert np.abs(beta_hat - B).max() < 0.35, beta_hat
+    w_hat = out["w_mcmc"].mean(axis=0)
+    cc = np.corrcoef(w_hat, w[out["order"]])[0, 1]
+    assert cc > 0.85, cc
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from spamtree_tpu.model.core import ModelStatic
     from spamtree_tpu.model.mcmc import MCMCConfig, init_state
