@@ -157,20 +157,32 @@ def spamtree(
     q = len(uniq)
     mv0 = np.searchsorted(uniq, mv_id)  # 0-based margin ids
 
-    mcmc = dict(keep=1000, burn=0, thin=1) | (mcmc or {})
-    settings = dict(adapting=True, mcmcsd=None, curvature_sd=True,
-                    ram_reference_warmup=False, const_model=None,
-                    collect="all", wire_dtype=None,
-                    factor_dtype=None, lazy_init=None) | (settings or {})
-    prior = dict(
+    # merge each knob dict over its defaults, rejecting unknown keys: a
+    # typo'd knob (e.g. settings=dict(checkpoint=...) for the
+    # checkpoint_path= kwarg) must not silently run with defaults
+    def _merge(name, defaults, given):
+        unknown = set(given or {}) - set(defaults)
+        if unknown:
+            raise ValueError(
+                f"unknown {name} key(s) {sorted(unknown)}; "
+                f"valid: {sorted(defaults)}"
+            )
+        return defaults | (given or {})
+
+    mcmc = _merge("mcmc", dict(keep=1000, burn=0, thin=1), mcmc)
+    settings = _merge("settings", dict(
+        adapting=True, mcmcsd=None, curvature_sd=True,
+        ram_reference_warmup=False, const_model=None,
+        collect="all", wire_dtype=None,
+        factor_dtype=None, lazy_init=None), settings)
+    prior = _merge("prior", dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
-        beta=None, tausq=None, theta=None,
-    ) | (prior or {})
-    starting = dict(beta=None, tausq=None, theta=None, w=None) | (starting or {})
-    debug = dict(
+        beta=None, tausq=None, theta=None), prior)
+    starting = _merge(
+        "starting", dict(beta=None, tausq=None, theta=None, w=None), starting)
+    debug = _merge("debug", dict(
         sample_beta=True, sample_tausq=True, sample_theta=True,
-        sample_w=True, sample_predicts=True,
-    ) | (debug or {})
+        sample_w=True, sample_predicts=True), debug)
 
     # sort rows by coordinates then original index (reference: spamtree_fit.R:214)
     order = np.lexsort(

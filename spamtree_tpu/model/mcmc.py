@@ -562,10 +562,14 @@ def run_mcmc(
         dk = _keys_chunk(jax.random.PRNGKey(0))  # mesh-replicated when sharded
         keep_exec = _lower_keep(ms, carry, (dk, flags_keep)).compile()
         keep_compiled = _wrap(keep_exec)
+        # cost_analysis blocks until the remote compile service actually
+        # delivers the binary (.compile() above can return an async handle),
+        # so it MUST sit inside the timed span -- outside it, a cold-cache
+        # run books minutes of compile wait as "uninstrumented" setup
+        keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
         compile_s = time.time() - t_c
         if verbose:
             print(f"[compile] {compile_s:.1f}s")
-        keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
 
     t0 = time.time()
     key = state.key
@@ -934,10 +938,12 @@ def run_mcmc_chains(
         _, dk2 = _next_keys_keep(ck, mc)
         keep_exec = _lower_keep(ms, carry, (_shard_keys(dk2), flags_keep)).compile()
         keep_compiled = _wrap(keep_exec)
+        # inside the timed span: cost_analysis blocks on the async remote
+        # compile (see run_mcmc)
+        keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
         compile_s = time.time() - t_c
         if verbose:
             print(f"[compile] {compile_s:.1f}s")
-        keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
 
     def _save(states, chainkeys):
         if checkpoint_path:

@@ -121,6 +121,27 @@ def test_no_missing_thinned():
     assert cc > 0.85, cc
 
 
+def test_checkpoint_run_and_unknown_knob(tmp_path):
+    """checkpoint_path= engages the non-pipelined drain (save after every
+    chunk) and writes a loadable state file; and a typo'd knob dict key
+    raises instead of silently running with defaults."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    ck = str(tmp_path / "run_ck.npz")
+    out = spamtree(
+        y, X, coords, mcmc=dict(keep=20, burn=10), checkpoint_path=ck,
+        dtype=jnp.float64, seed=7,
+    )
+    assert out["yhat_mcmc"].shape[0] == 20
+    import os
+    assert os.path.exists(ck)
+    with np.load(ck) as z:
+        assert "theta" in z and "w" in z
+    with pytest.raises(ValueError, match="settings"):
+        spamtree(y, X, coords, settings=dict(checkpoint=ck))
+    with pytest.raises(ValueError, match="mcmc"):
+        spamtree(y, X, coords, mcmc=dict(keep=5, burnin=5))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from spamtree_tpu.model.core import ModelStatic
     from spamtree_tpu.model.mcmc import MCMCConfig, init_state
