@@ -339,6 +339,13 @@ def spamtree(
             cfg=cfg, seed=sd, precomputed=precomputed, lazy=lazy,
         )
 
+    def _force(st):
+        # the state-builder program executes asynchronously on the relay;
+        # without this tiny host fetch its remote compile+run would surface
+        # later (run_mcmc's np.asarray(state.key)) OUTSIDE every timing
+        # bucket -- the bulk of the cold "uninstrumented" setup
+        np.asarray(st.key)
+
     t_ = time.time()
     if n_chains > 1:
         from spamtree_tpu.model.mcmc import run_mcmc_chains, stack_chain_states
@@ -348,6 +355,7 @@ def spamtree(
         states = stack_chain_states(
             _mk_state(seed), seed + np.arange(n_chains)
         )
+        _force(states)
         tb["init_state_s"] = round(time.time() - t_, 2)
         res = run_mcmc_chains(ms, tspec.bounds, cfg, states, verbose=verbose,
                               precompile=precompile,
@@ -357,6 +365,7 @@ def spamtree(
                               mesh=mesh)
     else:
         state = _mk_state(seed)
+        _force(state)
         tb["init_state_s"] = round(time.time() - t_, 2)
         res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
                        precompile=precompile, checkpoint_path=checkpoint_path,
