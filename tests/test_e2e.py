@@ -142,6 +142,19 @@ def test_checkpoint_run_and_unknown_knob(tmp_path):
         spamtree(y, X, coords, mcmc=dict(keep=5, burnin=5))
 
 
+def test_pipelined_equals_sequential_drain(tmp_path):
+    """Sample equality between the pipelined drain (default) and the
+    sequential drain (engaged by checkpoint_path): the overlap is pure
+    scheduling, draws must be bit-identical."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    kw = dict(mcmc=dict(keep=30, burn=10), dtype=jnp.float64, seed=11)
+    a = spamtree(y, X, coords, **kw)
+    b = spamtree(y, X, coords,
+                 checkpoint_path=str(tmp_path / "ck.npz"), **kw)
+    for k in ("w_mcmc", "beta_mcmc", "tausq_mcmc", "theta_mcmc"):
+        assert np.array_equal(a[k], b[k]), k
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from spamtree_tpu.model.core import ModelStatic
     from spamtree_tpu.model.mcmc import MCMCConfig, init_state
