@@ -1,0 +1,71 @@
+"""Sampler-ablation bisect of the in-scan transition: time the step with
+whole sampler blocks disabled (debug flags, reference spamtree_fit.R:18-20)
+under the fresh-key dependency-chained harness.
+
+Round-3 finding at n=1e5 (BENCH_RESULTS.md): no-theta = 10.3 ms ~ w-Gibbs
+(8.2) + predict (2.4), so carrying the 155.6 MB factor set through the
+donated scan carry is ~free; the full-step residual beyond the measured
+pieces lives inside the theta-MH block (accept-cond output
+materialization + on-accept derived rebuilds)."""
+import sys
+import time
+
+import numpy as np
+
+
+def main(n_per_q=50000, cell_size=25):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import make_multivariate
+    from spamtree_tpu.model.core import ModelStatic
+    from spamtree_tpu.model.mcmc import MCMCConfig, init_state, make_step
+    from spamtree_tpu.model.params import make_theta_spec
+    from spamtree_tpu.tree.partition import make_tree
+    from spamtree_tpu.tree.schedule import build_schedule
+
+    y, y_full, miss, X, coords, mv = make_multivariate(n_per_q, 2)
+    order = np.lexsort((np.arange(len(y)), coords[:, 1], coords[:, 0]))
+    y, X, coords, mv = y[order], X[order], coords[order], mv[order]
+    na = np.isfinite(y)
+    axis = int(round(cell_size ** 0.5))
+    tree = make_tree(coords, na, mv - 1, axis_cell_size=axis, K=2,
+                     rng=np.random.default_rng(0))
+    sched = build_schedule(tree)
+    tspec = make_theta_spec(2, 2)
+    ms = ModelStatic(sched, coords, mv - 1, y, X, tspec.spec)
+
+    for name, cfg in (
+        ("full step       ", MCMCConfig()),
+        ("no-theta step   ", MCMCConfig(sample_theta=False)),
+        ("w-only step     ", MCMCConfig(sample_theta=False, sample_beta=False,
+                                        sample_tausq=False,
+                                        sample_predicts=False)),
+    ):
+        st = init_state(ms, tspec.bounds, tspec.start, cfg=cfg, seed=0)
+        step = make_step(ms, tspec.bounds, cfg)
+
+        @jax.jit
+        def loop(s, keys):
+            f = lambda ss, kk: (step(ss, kk, False), None)
+            return jax.lax.scan(f, s, keys)[0]
+
+        def run(k, seed):
+            r = np.random.default_rng(seed)
+            keys = jnp.asarray(
+                r.integers(0, 2**31 - 1, size=(k, 2)).astype(np.uint32))
+            t0 = time.perf_counter()
+            out = loop(st, keys)
+            float(jnp.sum(out.theta) + jnp.sum(out.w))
+            return time.perf_counter() - t0
+
+        run(1, 99); run(21, 99)  # compile both shapes
+        lo = min(run(1, s) for s in range(3))
+        hi = min(run(21, s) for s in range(3))
+        print(f"{name}: {(hi - lo) / 20 * 1e3:7.2f} ms/iter", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50000,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 25)

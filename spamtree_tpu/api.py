@@ -102,7 +102,10 @@ def spamtree(
         selection details for misaligned multivariate sampling designs.
     mcmc : dict(keep=, burn=, thin=).
     settings : dict(adapting=, mcmcsd=, curvature_sd=, ram_reference_warmup=,
-        const_model=, collect=, wire_dtype=, factor_dtype=, lazy_init=).
+        const_model=, collect=, wire_dtype=, factor_dtype=, lazy_init=,
+        chunk=).  chunk = kept samples per device->host transfer chunk
+        (default 50): larger chunks amortize the per-dispatch round trip,
+        smaller ones tighten checkpoint/interrupt granularity.
         mcmcsd None (default) uses a curvature-scaled initial proposal
         covariance (finite-difference Fisher diagonal at theta0); pass a
         scalar/matrix to override, or curvature_sd=False for the isotropic
@@ -174,7 +177,7 @@ def spamtree(
         adapting=True, mcmcsd=None, curvature_sd=True,
         ram_reference_warmup=False, const_model=None,
         collect="all", wire_dtype=None,
-        factor_dtype=None, lazy_init=None), settings)
+        factor_dtype=None, lazy_init=None, chunk=50), settings)
     prior = _merge("prior", dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
         beta=None, tausq=None, theta=None), prior)
@@ -324,6 +327,7 @@ def spamtree(
         ram_reference_warmup=settings["ram_reference_warmup"],
         theta_prior=prior["theta"],
         collect=settings["collect"], wire_dtype=settings["wire_dtype"],
+        chunk=int(settings["chunk"]),
     )
     start_w = starting["w"]
     if start_w is not None:
