@@ -78,6 +78,7 @@ def spamtree(
     precompile=False,
     n_chains=1,
     checkpoint_path=None,
+    resume_from=None,
     sink_dir=None,
     devices=None,
     mesh=None,
@@ -134,6 +135,19 @@ def spamtree(
         chain axis after the sample axis).
     checkpoint_path / sink_dir : full-state checkpoint file; directory for
         streaming w/yhat draws to disk instead of host RAM (n ~ 1e6).
+    resume_from : path of a checkpoint written by an earlier run's
+        ``checkpoint_path=``.  Call with the SAME data and knobs (the tree,
+        schedule and chunk geometry are rebuilt from them); the sampler
+        state -- w, beta, tausq, theta, RAM adapter, RNG key, iteration
+        counter -- is loaded instead of initialized, curvature tuning is
+        skipped, any remaining burn is skipped past, and only the REMAINING
+        kept draws are sampled and returned (concatenate with the earlier
+        partial results; with ``sink_dir`` new draws append to fresh files).
+        Because checkpoints land on chunk boundaries and carry the
+        post-chunk RNG key, the continuation's w/beta/tausq/theta draws are
+        bit-identical to an uninterrupted run whenever the remaining keep
+        is a whole number of chunks (yhat re-seeds its host noise stream).
+        The reference has no equivalent (warm starts only, SURVEY.md §5).
     devices / mesh : multi-device execution, the analog of the reference's
         ``num_threads`` knob (spamtree_fit.cpp:57-59).  ``devices="all"``
         (or a device list) builds a chains x blocks ``jax.sharding.Mesh``
@@ -281,9 +295,16 @@ def spamtree(
     lazy = settings["lazy_init"]
     if lazy is None:
         lazy = mcmc["burn"] > 0 and debug["sample_theta"]
+    if resume_from is not None:
+        # the checkpoint carries the adapted RAM proposal covariance and
+        # live factors: no curvature tuning, no lazy self-init
+        lazy = False
+        do_curv = False
     tb["lazy_init"] = bool(lazy)
     precomputed = None
-    if lazy:
+    if resume_from is not None:
+        pass  # load_state below rebuilds the factors with one sweep
+    elif lazy:
         if do_curv:
             from spamtree_tpu.model.tuning import subsample_curvature_sd
 
@@ -350,13 +371,55 @@ def spamtree(
         # bucket -- the bulk of the cold "uninstrumented" setup
         np.asarray(st.key)
 
+    resumed_it = kept_already = None
+    state0 = None
+    if resume_from is not None:
+        from spamtree_tpu.utils.checkpoint import load_state
+
+        t_ = time.time()
+        state0 = load_state(resume_from, ms)
+        tb["resume_load_s"] = round(time.time() - t_, 2)
+        th = np.asarray(state0.theta)
+        ck_chains = th.shape[0] if th.ndim == 2 else 1
+        if ck_chains != n_chains:
+            raise ValueError(
+                f"checkpoint holds {ck_chains} chain(s); "
+                f"n_chains={n_chains} was requested"
+            )
+        # decompose the saved iteration counter with the ORIGINAL chunk
+        # geometry (checkpoints land on chunk boundaries; mcmc.run_mcmc);
+        # chains advance in lockstep so one counter covers all of them
+        resumed_it = int(np.asarray(state0.it).ravel()[0])
+        _mc = min(cfg.chunk, cfg.keep) if cfg.keep > 0 else cfg.chunk
+        _ipc = _mc * cfg.thin
+        _burn_actual = (int(np.ceil(cfg.burn / _ipc)) * _ipc
+                        if cfg.burn > 0 else 0)
+        if resumed_it < _burn_actual:
+            rem_burn, kept_already = _burn_actual - resumed_it, 0
+        else:
+            rem_burn = 0
+            kept_already = min(
+                (resumed_it - _burn_actual) // cfg.thin, cfg.keep
+            )
+        if kept_already >= cfg.keep:
+            raise ValueError(
+                f"checkpoint at iteration {resumed_it} already holds all "
+                f"{cfg.keep} kept draws for this mcmc config; nothing to "
+                f"resume"
+            )
+        cfg = cfg._replace(burn=rem_burn, keep=cfg.keep - kept_already)
+        if verbose:
+            print(f"[resume] iteration {resumed_it}: {kept_already} kept "
+                  f"draws already taken, {cfg.burn} burn + "
+                  f"{cfg.keep} keep remaining")
+
     t_ = time.time()
     if n_chains > 1:
         from spamtree_tpu.model.mcmc import run_mcmc_chains, stack_chain_states
 
         # chains differ only in their RNG stream: build one state, then
         # broadcast + per-chain keys in a single compiled program
-        states = stack_chain_states(
+        states = state0 if state0 is not None else stack_chain_states(
             _mk_state(seed), seed + np.arange(n_chains)
         )
         _force(states)
@@ -368,7 +431,7 @@ def spamtree(
                               const_model=settings["const_model"],
                               mesh=mesh)
     else:
-        state = _mk_state(seed)
+        state = state0 if state0 is not None else _mk_state(seed)
         _force(state)
         tb["init_state_s"] = round(time.time() - t_, 2)
         res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
@@ -391,7 +454,9 @@ def spamtree(
         # n_chains > 1: a chain axis follows the sample axis (keep, C, ...).
         "w_mcmc": res["w"],
         "yhat_mcmc": res["yhat"],
-        "beta_mcmc": (np.moveaxis(res["beta"], 0, 1) if n_chains == 1
+        # keep=0 (e.g. a checkpoint-only burn run) leaves flat empties
+        "beta_mcmc": (np.moveaxis(res["beta"], 0, 1)
+                      if n_chains == 1 and res["beta"].ndim >= 2
                       else res["beta"]),
         "tausq_mcmc": res["tausq"].T if n_chains == 1 else res["tausq"],
         "theta_mcmc": res["theta"].T if n_chains == 1 else res["theta"],
@@ -400,6 +465,11 @@ def spamtree(
         "mcmc_time": res["mcmc_time"],
         "accept_ratio": res["accept_ratio"],
         "burn_actual": res.get("burn_actual", mcmc["burn"]),
+        # resume bookkeeping (resume_from=): iteration the checkpoint held,
+        # and how many of mcmc["keep"] draws the earlier run already took
+        # (this run's sample arrays hold only the remaining keep draws)
+        "resumed_at_iteration": resumed_it,
+        "resumed_kept_already": kept_already,
         "setup_breakdown": tb,
         "flops_per_kept_sample": res.get("flops_per_kept_sample"),
         "bytes_per_kept_sample": res.get("bytes_per_kept_sample"),
