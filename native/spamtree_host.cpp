@@ -92,8 +92,8 @@ struct Sink {
   size_t max_queue;
 };
 
-void* st_sink_open(const char* path, int64_t max_queue) {
-  FILE* f = std::fopen(path, "wb");
+void* st_sink_open(const char* path, int64_t max_queue, int64_t append) {
+  FILE* f = std::fopen(path, append ? "ab" : "wb");
   if (!f) return nullptr;
   Sink* s = new Sink();
   s->f = f;

@@ -142,7 +142,8 @@ def spamtree(
         counter -- is loaded instead of initialized, curvature tuning is
         skipped, any remaining burn is skipped past, and only the REMAINING
         kept draws are sampled and returned (concatenate with the earlier
-        partial results; with ``sink_dir`` new draws append to fresh files).
+        partial results; with ``sink_dir`` new draws APPEND to the existing
+        sink files, which end up as if the run was never interrupted).
         Because checkpoints land on chunk boundaries and carry the
         post-chunk RNG key, the continuation's w/beta/tausq/theta draws are
         bit-identical to an uninterrupted run whenever the remaining keep
@@ -295,6 +296,15 @@ def spamtree(
     lazy = settings["lazy_init"]
     if lazy is None:
         lazy = mcmc["burn"] > 0 and debug["sample_theta"]
+    elif lazy and not (mcmc["burn"] > 0 and debug["sample_theta"]):
+        # lazy init relies on the in-chain theta step to install real
+        # factors during burn (init_state docstring); without it every
+        # w-Gibbs/prediction would silently use zero factors
+        raise ValueError(
+            "settings['lazy_init']=True requires burn >= 1 and "
+            "debug['sample_theta']=True (the chain self-initializes inside "
+            "the burn's theta step); use lazy_init=False here"
+        )
     if resume_from is not None:
         # the checkpoint carries the adapted RAM proposal covariance and
         # live factors: no curvature tuning, no lazy self-init
@@ -401,7 +411,8 @@ def spamtree(
             kept_already = min(
                 (resumed_it - _burn_actual) // cfg.thin, cfg.keep
             )
-        if kept_already >= cfg.keep:
+        if kept_already >= cfg.keep and rem_burn == 0:
+            # keep=0 burn-priming runs resume as long as burn remains
             raise ValueError(
                 f"checkpoint at iteration {resumed_it} already holds all "
                 f"{cfg.keep} kept draws for this mcmc config; nothing to "
@@ -428,6 +439,7 @@ def spamtree(
                               precompile=precompile,
                               checkpoint_path=checkpoint_path,
                               sink_dir=sink_dir,
+                              sink_append=resume_from is not None,
                               const_model=settings["const_model"],
                               mesh=mesh)
     else:
@@ -436,7 +448,9 @@ def spamtree(
         tb["init_state_s"] = round(time.time() - t_, 2)
         res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
                        precompile=precompile, checkpoint_path=checkpoint_path,
-                       sink_dir=sink_dir, const_model=settings["const_model"],
+                       sink_dir=sink_dir,
+                       sink_append=resume_from is not None,
+                       const_model=settings["const_model"],
                        mesh=mesh)
     tb["keep_compile_s"] = res.get("compile_time_s", 0.0)
 

@@ -391,6 +391,165 @@ def _moments_zero(ms: ModelStatic, lead=()) -> Moments:
     return Moments(jnp.zeros((), dtype=ms.dtype), z(), z(), z(), z())
 
 
+def _chunk_geometry(cfg: MCMCConfig, mesh):
+    """Chunk geometry + per-chunk predicting flags, shared by ``run_mcmc``
+    and ``run_mcmc_chains``: mc kept samples (= mc*thin iterations) per
+    device call; burn rounds UP to whole chunks; a final keep chunk past
+    ``cfg.keep`` has its tail rows' flags masked OFF, so the discarded
+    transitions neither predict nor contribute to summary-mode moments
+    (they are truncated from the drained arrays either way)."""
+    mc = min(cfg.chunk, cfg.keep) if cfg.keep > 0 else cfg.chunk
+    ipc = mc * cfg.thin
+    n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
+    n_keep_chunks = int(np.ceil(cfg.keep / mc)) if cfg.keep > 0 else 0
+    fk = np.zeros(cfg.thin, dtype=bool)
+    fk[-1] = True
+    fl = np.broadcast_to(fk, (mc, cfg.thin)).copy()
+    last_take = cfg.keep - (n_keep_chunks - 1) * mc if n_keep_chunks else mc
+    fl_last = fl.copy()
+    fl_last[last_take:] = False
+    # jnp.asarray may ALIAS a host buffer on the CPU backend -- hand each
+    # flags array its own copy, never a buffer that is mutated afterwards
+    flags_burn = jnp.zeros((mc, cfg.thin), dtype=bool)
+    flags_keep = jnp.asarray(fl)
+    flags_last = jnp.asarray(fl_last)
+    if mesh is not None:
+        from spamtree_tpu.parallel.sharding import replicated
+
+        flags_burn = replicated(mesh, flags_burn)
+        flags_keep = replicated(mesh, flags_keep)
+        flags_last = replicated(mesh, flags_last)
+    return (mc, ipc, n_burn_chunks, n_burn_chunks * ipc, n_keep_chunks,
+            flags_burn, flags_keep, flags_last)
+
+
+def _make_yhat_host(ms: ModelStatic, n: int, rng):
+    """Host-side posterior-predictive reconstruction shared by both drivers:
+    yhat = X beta + w + tau z, exactly the reference's spamtree_fit.cpp:384
+    with host RNG for z (only w rides the ~20 MB/s device->host wire; yhat
+    is redundant bytes).  Works for (m, n) and (m, C, n) draw batches.
+    Contracted one covariate at a time so the peak temporary matches the
+    output shape (an einsum over q materialized an (m, ..., n, q) cube,
+    multi-GB at n=1e6)."""
+    X_h = np.asarray(ms.X)
+    mv_h = np.asarray(ms.mv[:n])
+
+    def _yhat_host(w_s, beta_s, tausq_s):
+        XB = np.zeros(w_s.shape, dtype=w_s.dtype)
+        for j in range(X_h.shape[1]):
+            XB += beta_s[..., j, :][..., mv_h] * X_h[:, j]
+        sd = np.sqrt(tausq_s[..., mv_h])  # per-row margin noise sd
+        zdt = np.float64 if w_s.dtype == np.float64 else np.float32
+        z = rng.standard_normal(w_s.shape, dtype=zdt)
+        return XB + w_s + sd * z
+
+    return _yhat_host
+
+
+def _drain_samples(dev_outs, m_take, *, summary, wire, sinks, outs,
+                   yhat_host):
+    """Pull one chunk's device outputs to host (shared drain core): slice to
+    the m_take samples actually kept, decode the wire dtype, rebuild yhat,
+    route the big draws to sinks or RAM, store the small params.  Raises on
+    a non-finite theta draw (reference aborts on NaN loglik,
+    spamtree_fit.cpp:234-237).  Returns (theta_s, tausq_s) for reporting."""
+    if summary:
+        beta_s, tausq_s, theta_s = [np.asarray(a)[:m_take] for a in dev_outs]
+    else:
+        w_s, beta_s, tausq_s, theta_s = [
+            np.asarray(a)[:m_take] for a in dev_outs
+        ]
+        if wire is not None:
+            w_s = w_s.astype(np.float32)
+        yhat_s = yhat_host(w_s, beta_s, tausq_s)
+        if sinks is not None:
+            sinks["w"].push(w_s.astype(np.float32, copy=False))
+            sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
+        else:
+            outs["w"].append(w_s)
+            outs["yhat"].append(yhat_s)
+    outs["beta"].append(beta_s)
+    outs["tausq"].append(tausq_s)
+    outs["theta"].append(theta_s)
+    if not np.isfinite(theta_s).all():
+        raise FloatingPointError(
+            "non-finite theta in chain; aborting (NaN loglik guard)"
+        )
+    return theta_s, tausq_s
+
+
+def _make_sinks(sink_dir, summary, sink_append):
+    """Sample sinks for the big row-indexed draws (w, yhat): stream to disk
+    on the native writer thread instead of accumulating in host RAM (for
+    n ~ 1e6).  sink_append continues existing files (resumed runs)."""
+    if sink_dir is None or summary:
+        return None
+    import os
+
+    from spamtree_tpu.utils.native import SampleSink
+
+    os.makedirs(sink_dir, exist_ok=True)
+    return {k: SampleSink(os.path.join(sink_dir, f"{k}_mcmc.f32"),
+                          append=sink_append)
+            for k in ("w", "yhat")}
+
+
+def _drain_loop(n_keep_chunks, dispatch, drain, pipeline):
+    """The chunked keep loop shared by both drivers.  ``dispatch(ki)``
+    launches chunk ki on device and returns the drain payload (device
+    outputs still in flight -- async host copies already started);
+    ``drain(*payload)`` blocks on them and stores the samples.  In pipelined
+    mode chunk ki+1 is dispatched BEFORE chunk ki is drained, so the
+    ~seconds/chunk device->host transfer overlaps the sampling compute
+    (disabled when checkpointing: the saved state must never run ahead of
+    the drained samples).  KeyboardInterrupt between chunks keeps partial
+    results, mirroring the reference's checkInterrupt polling
+    (spamtree_fit.cpp:336,355-360); the already-computed pending chunk is
+    drained since it is paid for.  Note a diverged chain's non-finite-theta
+    abort fires one chunk late in pipelined mode (the next chunk is
+    dispatched before this one's theta is inspected) -- the documented cost
+    of the overlap."""
+    pending = None
+    try:
+        ki = 0
+        while ki < n_keep_chunks or pending is not None:
+            payload = None
+            if ki < n_keep_chunks:
+                payload = dispatch(ki)
+                ki += 1
+            if pending is not None:
+                drain(*pending)
+                pending = None
+            if pipeline:
+                pending = payload
+            elif payload is not None:
+                drain(*payload)
+    except KeyboardInterrupt:
+        print("MCMC interrupted; returning partial results.")
+        if pending is not None:
+            try:
+                drain(*pending)
+            except Exception:
+                pass
+
+
+def _summary_result(res, acc, empty_shape):
+    """Finalize summary-mode collection (shared): running sums -> posterior
+    mean/variance fields; the draw cubes come back empty."""
+    cnt = max(float(np.asarray(acc.count)), 1.0)
+    w_mean = np.asarray(acc.w_sum) / cnt
+    yh_mean = np.asarray(acc.yh_sum) / cnt
+    res["w_mean"] = w_mean
+    res["w_var"] = np.maximum(np.asarray(acc.w_sq) / cnt - w_mean**2, 0.0)
+    res["yhat_mean"] = yh_mean
+    res["yhat_var"] = np.maximum(
+        np.asarray(acc.yh_sq) / cnt - yh_mean**2, 0.0
+    )
+    res["summary_count"] = cnt
+    res["w"] = np.zeros(empty_shape)
+    res["yhat"] = np.zeros(empty_shape)
+
+
 def _chunk_cost(ex):
     """XLA's own (flops, bytes accessed) for one compiled keep chunk --
     honest MFU and bandwidth-roofline utilization (the workload is
@@ -414,6 +573,7 @@ def run_mcmc(
     precompile: bool = False,
     checkpoint_path: str | None = None,
     sink_dir: str | None = None,
+    sink_append: bool = False,
     const_model: bool | None = None,
     mesh=None,
 ):
@@ -504,41 +664,12 @@ def run_mcmc(
         _lower_keep = keep_scan.lower
         _wrap = lambda ex: ex
 
-    # host-side data for the yhat reconstruction (one-time small fetches)
-    X_h = np.asarray(ms.X)
-    mv_h = np.asarray(ms.mv[:n])
+    # host-side yhat reconstruction (host RNG seeded from the chain key)
     yhat_rng = np.random.default_rng(int(np.asarray(state.key).ravel()[-1]))
+    _yhat_host = _make_yhat_host(ms, n, yhat_rng)
 
-    def _yhat_host(w_s, beta_s, tausq_s):
-        """(m, n) posterior-predictive draws: X beta + w + tau z, exactly the
-        reference's spamtree_fit.cpp:384 with host RNG for z.  Contracted one
-        covariate at a time so the peak temporary is (m, n) -- the einsum
-        route materialized a (m, n, q) cube, multi-GB at n=1e6."""
-        XB = np.zeros(w_s.shape, dtype=w_s.dtype)
-        for j in range(X_h.shape[1]):
-            XB += beta_s[:, j, :][:, mv_h] * X_h[:, j][None, :]
-        sd = np.sqrt(tausq_s[:, mv_h])  # (m, n) per-row margin noise sd
-        zdt = np.float64 if w_s.dtype == np.float64 else np.float32
-        z = yhat_rng.standard_normal(w_s.shape, dtype=zdt)
-        return XB + w_s + sd * z
-
-    # chunk geometry: mc kept-samples (= mc*thin iterations) per device call;
-    # burn rounds UP to whole chunks; a final keep chunk past cfg.keep is
-    # truncated at drain time (the few extra transitions are discarded)
-    mc = min(cfg.chunk, cfg.keep) if cfg.keep > 0 else cfg.chunk
-    ipc = mc * cfg.thin
-    n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
-    burn_actual = n_burn_chunks * ipc
-    n_keep_chunks = int(np.ceil(cfg.keep / mc)) if cfg.keep > 0 else 0
-    flags_burn = jnp.zeros((mc, cfg.thin), dtype=bool)
-    fk = np.zeros(cfg.thin, dtype=bool)
-    fk[-1] = True
-    flags_keep = jnp.asarray(np.broadcast_to(fk, (mc, cfg.thin)))
-    if mesh is not None:
-        from spamtree_tpu.parallel.sharding import replicated
-
-        flags_burn = replicated(mesh, flags_burn)
-        flags_keep = replicated(mesh, flags_keep)
+    (mc, ipc, n_burn_chunks, burn_actual, n_keep_chunks,
+     flags_burn, flags_keep, flags_last) = _chunk_geometry(cfg, mesh)
 
     def _keys_chunk(sub):
         ck = jax.random.split(sub, mc * (cfg.thin + 1)).reshape(
@@ -630,64 +761,42 @@ def run_mcmc(
     state = state._replace(key=key)
     carry = (state, _acc)
 
-    # with a sink, the big row-indexed draws (w, yhat) stream to disk on the
-    # native writer thread instead of accumulating in host RAM (for n ~ 1e6)
-    sinks = None
-    if sink_dir is not None and not summary:
-        from spamtree_tpu.utils.native import SampleSink
-
-        os.makedirs(sink_dir, exist_ok=True)
-        sinks = {k: SampleSink(os.path.join(sink_dir, f"{k}_mcmc.f32"))
-                 for k in ("w", "yhat")}
+    sinks = _make_sinks(sink_dir, summary, sink_append)
 
     out_keys = (("beta", "tausq", "theta") if summary
                 else ("w", "yhat", "beta", "tausq", "theta"))
     outs = {k: [] for k in out_keys}
     drained = 0
-    # pipelined drain: the next chunk is dispatched BEFORE the previous
-    # chunk's samples are pulled to host, so the ~2 s/chunk device->host
-    # transfer overlaps the ~3 s/chunk sampling compute.  Disabled when
-    # checkpointing (the saved state must not run ahead of drained samples).
-    # Note the non-finite-theta abort fires one chunk late in pipelined mode
-    # (the next chunk is dispatched before this one's theta is inspected) --
-    # a diverged chain burns one extra chunk of device compute, the
-    # documented cost of the overlap.
+    # pipelined drain (see _drain_loop); disabled when checkpointing so the
+    # saved state never runs ahead of the drained samples
     pipeline = checkpoint_path is None
-    pending = None  # (device arrays, samples to take) of the previous chunk
+
+    def _dispatch(ki):
+        nonlocal carry, state, key
+        take = min(mc, cfg.keep - ki * mc)
+        fl = flags_last if ki == n_keep_chunks - 1 else flags_keep
+        key, sub = jax.random.split(key)
+        carry, cur = fn0()(ms, carry, (_keys_chunk(sub), fl))
+        state, _acc = carry
+        state = state._replace(key=key)
+        carry = (state, _acc)
+        for a in cur:  # start the async device->host copies early
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        # the _snap rides with the payload: in pipelined mode the live
+        # `state` is already one dispatched chunk ahead at drain time, and
+        # reporting from it makes the final report a zero-delta
+        return cur, take, _snap(state) if verbose else None
 
     def _drain(dev_outs, m_take, rep_snap):
-        # rep_snap = _snap() of the carry as of the END of the chunk being
-        # drained: in pipelined mode the live `state` is already one
-        # dispatched chunk ahead, and reporting from it makes the final
-        # report a zero-delta (observed: "0.0ms/iter, accept 0.00%
-        # (window)" on the last chunk)
         nonlocal drained
-        if summary:
-            beta_s, tausq_s, theta_s = [
-                np.asarray(a)[:m_take] for a in dev_outs
-            ]
-        else:
-            w_s, beta_s, tausq_s, theta_s = [
-                np.asarray(a)[:m_take] for a in dev_outs
-            ]
-            if wire is not None:
-                w_s = w_s.astype(np.float32)
-            yhat_s = _yhat_host(w_s, beta_s, tausq_s)
-            if sinks is not None:
-                sinks["w"].push(w_s.astype(np.float32, copy=False))
-                sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
-            else:
-                outs["w"].append(w_s)
-                outs["yhat"].append(yhat_s)
-        outs["beta"].append(beta_s)
-        outs["tausq"].append(tausq_s)
-        outs["theta"].append(theta_s)
+        theta_s, tausq_s = _drain_samples(
+            dev_outs, m_take, summary=summary, wire=wire, sinks=sinks,
+            outs=outs, yhat_host=_yhat_host,
+        )
         drained += m_take
-        if not np.isfinite(theta_s).all():
-            # reference aborts on NaN loglik (spamtree_fit.cpp:234-237)
-            raise FloatingPointError(
-                "non-finite theta in chain; aborting (NaN loglik guard)"
-            )
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
@@ -708,40 +817,7 @@ def run_mcmc(
                       f"{np.array2string(theta_s[i], precision=4)} tausq="
                       f"{np.array2string(tausq_s[i], precision=5)}")
 
-    try:
-        ki = 0
-        while ki < n_keep_chunks or pending is not None:
-            cur = None
-            take = 0
-            if ki < n_keep_chunks:
-                take = min(mc, cfg.keep - ki * mc)
-                key, sub = jax.random.split(key)
-                carry, cur = fn0()(ms, carry, (_keys_chunk(sub), flags_keep))
-                state, _acc = carry
-                state = state._replace(key=key)
-                carry = (state, _acc)
-                ki += 1
-                for a in cur:  # start the async device->host copies early
-                    try:
-                        a.copy_to_host_async()
-                    except Exception:
-                        pass
-            if pending is not None:
-                _drain(*pending)
-                pending = None
-            if pipeline:
-                pending = ((cur, take, _snap(state) if verbose else None)
-                           if cur is not None else None)
-            elif cur is not None:
-                _drain(cur, take, _snap(state) if verbose else None)
-    except KeyboardInterrupt:
-        print("MCMC interrupted; returning partial results.")
-        if pending is not None:
-            try:
-                _drain(*pending)  # the computed chunk is already paid for
-            except Exception:
-                pass
-            pending = None
+    _drain_loop(n_keep_chunks, _dispatch, _drain, pipeline)
 
     if sinks is not None:
         for sk in sinks.values():
@@ -750,19 +826,7 @@ def run_mcmc(
     if sinks is not None:
         res["sink_files"] = {k: sk.path for k, sk in sinks.items()}
     if summary:
-        acc = carry[1]
-        cnt = max(float(np.asarray(acc.count)), 1.0)
-        w_mean = np.asarray(acc.w_sum) / cnt
-        yh_mean = np.asarray(acc.yh_sum) / cnt
-        res["w_mean"] = w_mean
-        res["w_var"] = np.maximum(np.asarray(acc.w_sq) / cnt - w_mean**2, 0.0)
-        res["yhat_mean"] = yh_mean
-        res["yhat_var"] = np.maximum(
-            np.asarray(acc.yh_sq) / cnt - yh_mean**2, 0.0
-        )
-        res["summary_count"] = cnt
-        res["w"] = np.zeros((0, n))
-        res["yhat"] = np.zeros((0, n))
+        _summary_result(res, carry[1], (0, n))
     res["burn_actual"] = burn_actual
     res["compile_time_s"] = round(compile_s, 2)
     res["mcmc_time"] = time.time() - t0
@@ -788,6 +852,7 @@ def run_mcmc_chains(
     precompile: bool = False,
     checkpoint_path: str | None = None,
     sink_dir: str | None = None,
+    sink_append: bool = False,
     const_model: bool | None = None,
 ):
     """Run C independent chains in one program via vmap -- the multi-chain
@@ -877,22 +942,10 @@ def run_mcmc_chains(
         _lower_keep = keep_scan.lower
         _wrap = lambda ex: ex
 
-    X_h = np.asarray(ms.X)
-    mv_h = np.asarray(ms.mv[:n])
     yhat_rng = np.random.default_rng(
         int(np.asarray(states.key).ravel()[-1])
     )
-
-    def _yhat_host(w_s, beta_s, tausq_s):
-        """(m, C, n) posterior-predictive draws (host RNG for the noise);
-        contracted per covariate to avoid the (m, C, n, q) temporary."""
-        XB = np.zeros(w_s.shape, dtype=w_s.dtype)
-        for j in range(X_h.shape[1]):
-            XB += beta_s[:, :, j, :][..., mv_h] * X_h[:, j]
-        sd = np.sqrt(tausq_s[:, :, mv_h])  # (m, C, n)
-        zdt = np.float64 if w_s.dtype == np.float64 else np.float32
-        z = yhat_rng.standard_normal(w_s.shape, dtype=zdt)
-        return XB + w_s + sd * z
+    _yhat_host = _make_yhat_host(ms, n, yhat_rng)  # (m, C, n) batches
 
     # per-chain key streams: split each chain's carried key into (next key,
     # m iteration keys) -- the user's per-chain seeds drive everything
@@ -904,22 +957,8 @@ def run_mcmc_chains(
         it = ks[:, 1:].reshape(C, m, cfg.thin + 1, 2)
         return ks[:, 0], jnp.moveaxis(it, 0, 2)
 
-    # chunk geometry mirrors run_mcmc: one program for burn and keep, burn
-    # rounded up to whole chunks, final keep chunk truncated at drain
-    mc = min(cfg.chunk, cfg.keep) if cfg.keep > 0 else cfg.chunk
-    ipc = mc * cfg.thin
-    n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
-    burn_actual = n_burn_chunks * ipc
-    n_keep_chunks = int(np.ceil(cfg.keep / mc)) if cfg.keep > 0 else 0
-    flags_burn = jnp.zeros((mc, cfg.thin), dtype=bool)
-    fk = np.zeros(cfg.thin, dtype=bool)
-    fk[-1] = True
-    flags_keep = jnp.asarray(np.broadcast_to(fk, (mc, cfg.thin)))
-    if mesh is not None:
-        from spamtree_tpu.parallel.sharding import replicated
-
-        flags_burn = replicated(mesh, flags_burn)
-        flags_keep = replicated(mesh, flags_keep)
+    (mc, ipc, n_burn_chunks, burn_actual, n_keep_chunks,
+     flags_burn, flags_keep, flags_last) = _chunk_geometry(cfg, mesh)
 
     acc0 = _moments_zero(ms, lead=(C,)) if summary else ()
     if summary and mesh is not None:
@@ -969,86 +1008,43 @@ def run_mcmc_chains(
     states = states._replace(key=chainkeys)
     carry = (states, _acc)
 
-    sinks = None
-    if sink_dir is not None and not summary:
-        from spamtree_tpu.utils.native import SampleSink
-
-        os.makedirs(sink_dir, exist_ok=True)
-        sinks = {k: SampleSink(os.path.join(sink_dir, f"{k}_mcmc.f32"))
-                 for k in ("w", "yhat")}
+    sinks = _make_sinks(sink_dir, summary, sink_append)
 
     out_keys = (("beta", "tausq", "theta") if summary
                 else ("w", "yhat", "beta", "tausq", "theta"))
     outs = {k: [] for k in out_keys}
     drained = 0
-    pipeline = checkpoint_path is None  # see run_mcmc
-    pending = None
+    pipeline = checkpoint_path is None  # see _drain_loop
+
+    def _dispatch(ki):
+        nonlocal carry, states, chainkeys
+        take = min(mc, cfg.keep - ki * mc)
+        fl = flags_last if ki == n_keep_chunks - 1 else flags_keep
+        chainkeys, ckeys = _next_keys_keep(chainkeys, mc)
+        carry, cur = fn0()(ms, carry, (_shard_keys(ckeys), fl))
+        states, _acc = carry
+        states = states._replace(key=chainkeys)
+        carry = (states, _acc)
+        for a in cur:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return cur, take
 
     def _drain(dev_outs, m_take):
         nonlocal drained
-        if summary:
-            beta_s, tausq_s, theta_s = [
-                np.asarray(a)[:m_take] for a in dev_outs
-            ]
-        else:
-            w_s, beta_s, tausq_s, theta_s = [
-                np.asarray(a)[:m_take] for a in dev_outs
-            ]
-            if wire is not None:
-                w_s = w_s.astype(np.float32)
-            yhat_s = _yhat_host(w_s, beta_s, tausq_s)
-            if sinks is not None:
-                sinks["w"].push(w_s.astype(np.float32, copy=False))
-                sinks["yhat"].push(yhat_s.astype(np.float32, copy=False))
-            else:
-                outs["w"].append(w_s)
-                outs["yhat"].append(yhat_s)
-        outs["beta"].append(beta_s)
-        outs["tausq"].append(tausq_s)
-        outs["theta"].append(theta_s)
+        _drain_samples(
+            dev_outs, m_take, summary=summary, wire=wire, sinks=sinks,
+            outs=outs, yhat_host=_yhat_host,
+        )
         drained += m_take
-        if not np.isfinite(theta_s).all():
-            raise FloatingPointError(
-                "non-finite theta in chain; aborting (NaN loglik guard)"
-            )
         _save(states, chainkeys)
         if verbose:
             print(f"[keep] {drained}/{cfg.keep} x {C} chains, "
                   f"{time.time()-t0:.2f}s")
 
-    try:
-        ki = 0
-        while ki < n_keep_chunks or pending is not None:
-            cur = None
-            take = 0
-            if ki < n_keep_chunks:
-                take = min(mc, cfg.keep - ki * mc)
-                chainkeys, ckeys = _next_keys_keep(chainkeys, mc)
-                carry, cur = fn0()(ms, carry, (_shard_keys(ckeys), flags_keep))
-                states, _acc = carry
-                states = states._replace(key=chainkeys)
-                carry = (states, _acc)
-                ki += 1
-                for a in cur:
-                    try:
-                        a.copy_to_host_async()
-                    except Exception:
-                        pass
-            if pending is not None:
-                _drain(*pending)
-                pending = None
-            if pipeline:
-                pending = (cur, take) if cur is not None else None
-            elif cur is not None:
-                _drain(cur, take)
-    except KeyboardInterrupt:
-        print("MCMC interrupted; returning partial results.")
-        if pending is not None:
-            try:
-                _drain(*pending)
-            except Exception:
-                pass
-            pending = None
+    _drain_loop(n_keep_chunks, _dispatch, _drain, pipeline)
 
     if sinks is not None:
         for sk in sinks.values():
@@ -1057,19 +1053,7 @@ def run_mcmc_chains(
     if sinks is not None:
         res["sink_files"] = {k: sk.path for k, sk in sinks.items()}
     if summary:
-        acc = carry[1]
-        cnt = max(float(np.asarray(acc.count)), 1.0)
-        w_mean = np.asarray(acc.w_sum) / cnt
-        yh_mean = np.asarray(acc.yh_sum) / cnt
-        res["w_mean"] = w_mean
-        res["w_var"] = np.maximum(np.asarray(acc.w_sq) / cnt - w_mean**2, 0.0)
-        res["yhat_mean"] = yh_mean
-        res["yhat_var"] = np.maximum(
-            np.asarray(acc.yh_sq) / cnt - yh_mean**2, 0.0
-        )
-        res["summary_count"] = cnt
-        res["w"] = np.zeros((0, C, n))
-        res["yhat"] = np.zeros((0, C, n))
+        _summary_result(res, carry[1], (0, C, n))
     res["burn_actual"] = burn_actual
     res["compile_time_s"] = round(compile_s, 2)
     res["mcmc_time"] = time.time() - t0

@@ -6,14 +6,16 @@ the RAM adapter to learn the posterior metric.  Rank-1 RAM needs O(d^2)
 accepted moves to learn per-dimension scales, which is why the round-1
 15-dim (q=3) and n=1e6 chains sat at 2-4% acceptance for the whole run.
 
-``curvature_proposal_sd`` instead estimates the conditional log-posterior
-curvature diag(-d^2 ll / dz_i^2) at the starting theta (z = logit-transformed
-theta, the proposal space) by central finite differences, after settling the
-latent field with a few w-Gibbs sweeps, and returns the classic optimal-scale
-diagonal covariance (2.38^2/d) * H_ii^-1 (Roberts/Rosenthal).  Cost: a few
-w-Gibbs iterations + 2d+1 likelihood sweeps, i.e. seconds even at n=1e6.
-RAM then starts from approximately the right per-dimension metric and only
-has to learn correlations.
+The tuners here instead estimate the conditional log-posterior curvature
+diag(-d^2 ll / dz_i^2) at the starting theta (z = logit-transformed theta,
+the proposal space) by central finite differences, after settling the latent
+field with a few w-Gibbs sweeps, and return the classic optimal-scale
+diagonal covariance (2.38^2/d) * H_ii^-1 (Roberts/Rosenthal).  RAM then
+starts from approximately the right per-dimension metric and only has to
+learn correlations.  Two paths: ``prepare_chain`` fuses the FD batch into
+the chain's initial-sweep program (eager init), ``subsample_curvature_sd``
+runs on a subsampled model on the LOCAL CPU backend (lazy init -- zero
+remote compile); both feed ``curvature_sd_from_lls``.
 """
 
 from __future__ import annotations
@@ -28,21 +30,24 @@ from spamtree_tpu.model.core import (
     ModelStatic,
     gibbs_w,
     msg_gram,
-    quad_loglik,
     sweep,
 )
 from spamtree_tpu.model.transforms import transf_back, transf_fwd
 
 
 def curvature_sd_from_lls(lls, nt, fd_step=0.15, default_var=1e-4,
-                          max_var=0.25):
+                          max_var=0.25, curv_scale=1.0):
     """Host-side half of the curvature tuner: turn the (2*nt+1,) FD
-    log-likelihood values from ``prepare_chain`` into the diagonal proposal
-    covariance (2.38^2/d) * H_ii^-1 (Roberts/Rosenthal optimal scale)."""
+    log-likelihood values into the diagonal proposal covariance
+    (2.38^2/d) * H_ii^-1 (Roberts/Rosenthal optimal scale).  Dimensions
+    where the curvature estimate is non-positive or non-finite (flat or
+    noisy directions) fall back to ``default_var``.  ``curv_scale``
+    extrapolates a subsampled estimate to the full data size (the
+    conditional log-likelihood Hessian grows ~linearly in n)."""
     lls = np.asarray(lls, dtype=np.float64)
     f0, fp, fm = lls[0], lls[1 : 1 + nt], lls[1 + nt :]
     h = fd_step
-    curv = -(fp - 2.0 * f0 + fm) / (h * h)  # -d^2 ll / dz_i^2
+    curv = -(fp - 2.0 * f0 + fm) / (h * h) * curv_scale  # -d^2 ll / dz_i^2
     scale = 2.38**2 / nt
     var = np.full(nt, default_var)
     good = np.isfinite(curv) & (curv > 0)
@@ -131,73 +136,6 @@ def prepare_chain(
         return (ld, pd, logdet, ok, gram), lls
     ld, pd, logdet, ok, gram = out
     return (ld, pd, logdet, ok, gram), None
-
-
-def curvature_proposal_sd(
-    ms: ModelStatic,
-    bounds: np.ndarray,
-    theta0: np.ndarray,
-    n_warm_gibbs: int = 5,
-    fd_step: float = 0.15,
-    default_var: float = 1e-4,
-    max_var: float = 0.25,
-    start_tausq: float = 0.1,
-    seed: int = 0,
-) -> np.ndarray:
-    """Diagonal proposal covariance (nt, nt) from finite-difference curvature.
-
-    Dimensions where the curvature estimate is non-positive or non-finite
-    (flat or noisy directions) fall back to ``default_var``.
-    """
-    nt = len(theta0)
-    dt = ms.dtype
-    bnds = jnp.asarray(bounds, dtype=dt)
-    theta0 = jnp.asarray(theta0, dtype=dt)
-
-    # settle w with a few Gibbs sweeps at theta0 so the conditional target
-    # ll(theta | w) carries data information (w=0 zeroes the quadratic form).
-    # ms is a jit ARGUMENT (pytree), keeping the lowered module O(levels).
-    @jax.jit
-    def _warm(m, theta, key):
-        leveldata, _, _, _ = sweep(m, theta, jnp.zeros((m.n + 1,), dtype=dt),
-                                   build_pred=False)
-        w = jnp.zeros((m.n + 1,), dtype=dt)
-        tausq_inv = jnp.full((m.q,), 1.0 / start_tausq, dtype=dt)
-        XB = jnp.zeros((m.n + 1,), dtype=dt)
-
-        def body(w, k):
-            return gibbs_w(m, leveldata, w, tausq_inv, XB, k), None
-
-        w, _ = jax.lax.scan(body, w, jax.random.split(key, n_warm_gibbs))
-        return w
-
-    w = _warm(ms, theta0, jax.random.PRNGKey(seed))
-
-    @jax.jit
-    def _ll_batch(m, zs, w):
-        # sequential map keeps one sweep's transients live at a time
-        def one(z):
-            th = transf_back(z, bnds)
-            leveldata, _, logdet, ok = sweep(m, th, w, build_pred=False)
-            ll = logdet + quad_loglik(m, leveldata, w)
-            return jnp.where(ok, ll, jnp.nan)
-
-        return jax.lax.map(one, zs)
-
-    z0 = transf_fwd(theta0, bnds)
-    h = fd_step
-    zs = jnp.concatenate(
-        [z0[None], z0 + h * jnp.eye(nt, dtype=dt), z0 - h * jnp.eye(nt, dtype=dt)]
-    )
-    lls = np.asarray(_ll_batch(ms, zs, w), dtype=np.float64)
-    f0, fp, fm = lls[0], lls[1 : 1 + nt], lls[1 + nt :]
-    curv = -(fp - 2.0 * f0 + fm) / (h * h)  # -d^2 ll / dz_i^2
-
-    scale = 2.38**2 / nt  # optimal-scale rule for a d-dim Gaussian target
-    var = np.full(nt, default_var)
-    good = np.isfinite(curv) & (curv > 0)
-    var[good] = np.clip(scale / curv[good], 1e-10, max_var)
-    return np.diag(var)
 
 
 def subsample_curvature_sd(
@@ -300,14 +238,8 @@ def subsample_curvature_sd(
             "(subsampled check); choose a different starting value or widen "
             "the bounds"
         )
-    lls = np.asarray(lls, dtype=np.float64)
-    f0, fp, fm = lls[0], lls[1 : 1 + nt], lls[1 + nt :]
-    curv = -(fp - 2.0 * f0 + fm) / (fd_step * fd_step) * scale_n
-    scale = 2.38**2 / nt
-    var = np.full(nt, 1e-4)
-    good = np.isfinite(curv) & (curv > 0)
-    var[good] = np.clip(scale / curv[good], 1e-10, 0.25)
     if timings is not None:
         timings["cpu_tuner_s"] = round(time.time() - t0, 2)
         timings["cpu_tuner_n"] = n_eff
-    return np.diag(var)
+    return curvature_sd_from_lls(lls, nt, fd_step=fd_step,
+                                 curv_scale=scale_n)

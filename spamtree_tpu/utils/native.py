@@ -25,14 +25,22 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "spamtree_host.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
+            if os.path.exists(_LIB_PATH):
+                os.remove(_LIB_PATH)  # make only rebuilds a missing target
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR)],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
             return None
+    if not os.path.exists(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -45,7 +53,7 @@ def _load():
     lib.st_group_by_key.restype = i64
     lib.st_group_by_key.argtypes = [ip, i64, ip, ip]
     lib.st_sink_open.restype = ctypes.c_void_p
-    lib.st_sink_open.argtypes = [ctypes.c_char_p, i64]
+    lib.st_sink_open.argtypes = [ctypes.c_char_p, i64, i64]
     lib.st_sink_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, i64]
     lib.st_sink_close.restype = i64
     lib.st_sink_close.argtypes = [ctypes.c_void_p]
@@ -103,18 +111,22 @@ class SampleSink:
     """Async binary writer for streaming kept samples to disk (native thread
     when available; synchronous fallback otherwise)."""
 
-    def __init__(self, path: str, max_queue: int = 16):
+    def __init__(self, path: str, max_queue: int = 16,
+                 append: bool = False):
+        """``append=True`` continues an existing sink file instead of
+        truncating it (used by resumed runs; mcmc.run_mcmc sink_append)."""
         self.path = path
         self._lib = _load()
         self._n = 0
         if self._lib is not None:
-            self._h = self._lib.st_sink_open(path.encode(), max_queue)
+            self._h = self._lib.st_sink_open(path.encode(), max_queue,
+                                             1 if append else 0)
             if not self._h:
                 raise OSError(f"cannot open {path}")
             self._f = None
         else:
             self._h = None
-            self._f = open(path, "wb")
+            self._f = open(path, "ab" if append else "wb")
 
     def push(self, arr: np.ndarray):
         data = np.ascontiguousarray(arr).tobytes()

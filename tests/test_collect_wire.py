@@ -34,14 +34,18 @@ def test_summary_moments_match_draws():
     """collect="summary" must reproduce exactly the moments of the draws the
     default path ships: same seed => same trajectory => w_mean/w_var equal
     the host-side mean/var of w_mcmc (float64, wire off => bit-comparable)."""
+    # chunk=10 with keep=24 leaves a TRUNCATED final chunk (take=4): its
+    # discarded tail transitions must not leak into the device moments
+    # (regression: summary_count was 30 != keep=24 before the flag mask)
     mcmc = dict(keep=24, burn=8, thin=1)
     ra = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
-                  settings=dict(wire_dtype="none"), **KW)
+                  settings=dict(wire_dtype="none", chunk=10), **KW)
     rs = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
-                  settings=dict(wire_dtype="none", collect="summary"), **KW)
+                  settings=dict(wire_dtype="none", collect="summary",
+                                chunk=10), **KW)
 
     assert rs["w_mcmc"].shape[0] == 0  # no draw cubes in summary mode
-    assert rs["summary_count"] == ra["w_mcmc"].shape[0]
+    assert rs["summary_count"] == 24 == ra["w_mcmc"].shape[0]
     np.testing.assert_allclose(rs["w_mean"], ra["w_mcmc"].mean(0),
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(rs["w_var"], ra["w_mcmc"].var(0),
@@ -60,10 +64,11 @@ def test_summary_moments_match_draws():
 
 def test_summary_mode_chains():
     """Summary accumulators carry a chain axis under the vmapped driver."""
-    mcmc = dict(keep=8, burn=4, thin=1)
+    mcmc = dict(keep=8, burn=4, thin=1)  # chunk=5: truncated final chunk
     r = spamtree(*_data(n=200), mcmc=mcmc, n_chains=2,
-                 settings=dict(collect="summary"), **KW)
+                 settings=dict(collect="summary", chunk=5), **KW)
     n = 200
+    assert r["summary_count"] == 8
     assert r["w_mean"].shape == (2, n)
     assert r["yhat_var"].shape == (2, n)
     assert np.isfinite(r["w_mean"]).all() and (r["w_var"] >= 0).all()

@@ -209,6 +209,14 @@ def test_resume_mid_burn_and_chains(tmp_path):
     assert res["resumed_kept_already"] == 0
     assert np.array_equal(res["w_mcmc"], full["w_mcmc"])
     assert np.array_equal(res["theta_mcmc"], full["theta_mcmc"])
+    # a keep=0 run can EXTEND the burn from the same checkpoint (resume must
+    # not refuse on kept_already >= keep == 0 while burn remains)
+    r0 = spamtree(y, X, coords, mcmc=dict(keep=0, burn=20), resume_from=ck,
+                  checkpoint_path=ck, settings=dict(chunk=10, lazy_init=True),
+                  dtype=jnp.float64, seed=17)
+    assert r0["resumed_at_iteration"] == 10 and r0["burn_actual"] == 10
+    with np.load(ck) as z:
+        assert int(np.asarray(z["it"]).ravel()[0]) == 20
     # multi-chain: 2 chains, resume after half the keeps
     kw2 = dict(dtype=jnp.float64, seed=23, settings=dict(chunk=10),
                n_chains=2)
@@ -222,6 +230,42 @@ def test_resume_mid_burn_and_chains(tmp_path):
     assert res2["w_mcmc"].shape == (10, 2, len(y))
     assert np.array_equal(res2["w_mcmc"], full2["w_mcmc"][10:])
     assert np.array_equal(res2["theta_mcmc"], full2["theta_mcmc"][10:])
+
+
+def test_resume_sink_append(tmp_path):
+    """A resumed run pointed at the same sink_dir APPENDS to the existing
+    sink files (truncating would destroy the interrupted run's draws): the
+    final file holds all keep draws, identical to an uninterrupted run."""
+    import os
+
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    n = len(y)
+    kw = dict(dtype=jnp.float64, seed=29, settings=dict(chunk=10))
+    ck = str(tmp_path / "ck.npz")
+    sd = str(tmp_path / "sink")
+    sf = str(tmp_path / "sink_full")
+    spamtree(y, X, coords, mcmc=dict(keep=20, burn=10), sink_dir=sf, **kw)
+    spamtree(y, X, coords, mcmc=dict(keep=10, burn=10), checkpoint_path=ck,
+             sink_dir=sd, **kw)
+    spamtree(y, X, coords, mcmc=dict(keep=20, burn=10), resume_from=ck,
+             sink_dir=sd, **kw)
+    got = np.fromfile(os.path.join(sd, "w_mcmc.f32"), dtype=np.float32)
+    want = np.fromfile(os.path.join(sf, "w_mcmc.f32"), dtype=np.float32)
+    assert got.size == 20 * n
+    assert np.array_equal(got, want)
+
+
+def test_lazy_init_explicit_requires_burn_and_theta():
+    """Explicit settings['lazy_init']=True without burn>=1 + sample_theta
+    would silently run on zero factors; it must raise instead."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    with pytest.raises(ValueError, match="lazy_init"):
+        spamtree(y, X, coords, mcmc=dict(keep=5, burn=0),
+                 settings=dict(lazy_init=True))
+    with pytest.raises(ValueError, match="lazy_init"):
+        spamtree(y, X, coords, mcmc=dict(keep=5, burn=5),
+                 settings=dict(lazy_init=True),
+                 debug=dict(sample_theta=False))
 
 
 def test_checkpoint_roundtrip(tmp_path):
