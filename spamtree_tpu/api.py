@@ -103,7 +103,8 @@ def spamtree(
         selection details for misaligned multivariate sampling designs.
     mcmc : dict(keep=, burn=, thin=).
     settings : dict(adapting=, mcmcsd=, curvature_sd=, ram_reference_warmup=,
-        const_model=, collect=, wire_dtype=, factor_dtype=, lazy_init=,
+        const_model=, collect=, wire_dtype=, summary_draws=, factor_dtype=,
+        lazy_init=,
         chunk=).  chunk = kept samples per device->host transfer chunk
         (default 50): larger chunks amortize the per-dispatch round trip,
         smaller ones tighten checkpoint/interrupt granularity.
@@ -111,7 +112,11 @@ def spamtree(
         covariance (finite-difference Fisher diagonal at theta0); pass a
         scalar/matrix to override, or curvature_sd=False for the isotropic
         scale-aware fallback.  collect="summary" accumulates posterior
-        moments on device (O(n) output).  wire_dtype controls the
+        moments on device (O(n) output); summary_draws=m additionally
+        retains ~m thinned w/yhat draws in w_mcmc/yhat_mcmc (sliced inside
+        the compiled chunk program, so the wire stays O(m*n)) -- enough
+        for posterior quantiles/intervals, which moments alone cannot
+        give.  wire_dtype controls the
         device->host format of w draws (auto: float16 for f32 models).
         factor_dtype="bfloat16" (EXPERIMENTAL, off by default) stores the
         propagated joint factors -- the sweep's largest transients -- in
@@ -191,7 +196,7 @@ def spamtree(
     settings = _merge("settings", dict(
         adapting=True, mcmcsd=None, curvature_sd=True,
         ram_reference_warmup=False, const_model=None,
-        collect="all", wire_dtype=None,
+        collect="all", wire_dtype=None, summary_draws=0,
         factor_dtype=None, lazy_init=None, chunk=50), settings)
     prior = _merge("prior", dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
@@ -358,6 +363,7 @@ def spamtree(
         ram_reference_warmup=settings["ram_reference_warmup"],
         theta_prior=prior["theta"],
         collect=settings["collect"], wire_dtype=settings["wire_dtype"],
+        summary_draws=int(settings["summary_draws"]),
         chunk=int(settings["chunk"]),
     )
     start_w = starting["w"]

@@ -79,6 +79,13 @@ class MCMCConfig(NamedTuple):
     # large-n mode (keep*n draws never cross the ~20 MB/s device->host link).
     # beta/tausq/theta draws are always stored (they are tiny).
     collect: str = "all"
+    # summary mode only: additionally retain ~this many w/yhat draws (every
+    # stride-th kept draw within each chunk, sliced INSIDE the compiled
+    # chunk program so the wire stays O(summary_draws * n)) -- enough for
+    # posterior quantiles/intervals, which pure moments cannot give.  0 =
+    # moments only (the reference's list_qtile needs full draws; this is
+    # the O(1)-memory substitute).
+    summary_draws: int = 0
     # device->host wire format for the w draws.  None = auto: float16 when
     # the model runs float32 (the relay link is the bottleneck at large n;
     # f16's 2^-11 relative error is far below posterior noise), no cast
@@ -475,7 +482,21 @@ def _drain_samples(dev_outs, m_take, *, summary, wire, sinks, outs,
         raise FloatingPointError(
             "non-finite theta in chain; aborting (NaN loglik guard)"
         )
-    return theta_s, tausq_s
+    return theta_s, tausq_s, beta_s
+
+
+def _drain_subsample(w_sub_dev, m_take, stride, beta_s, tausq_s, *, wire,
+                     outs, yhat_host):
+    """Summary-mode quantile subsample: pull the chunk's strided w rows
+    (already sliced on device -- only these rows cross the wire), rebuild
+    their yhat, and store them as regular (thinned) draws."""
+    sub_take = -(-m_take // stride)  # kept rows at local indices 0, s, 2s..
+    w_s = np.asarray(w_sub_dev)[:sub_take]
+    if wire is not None:
+        w_s = w_s.astype(np.float32)
+    pos = np.arange(sub_take) * stride
+    outs["w"].append(w_s)
+    outs["yhat"].append(yhat_host(w_s, beta_s[pos], tausq_s[pos]))
 
 
 def _make_sinks(sink_dir, summary, sink_append):
@@ -535,7 +556,8 @@ def _drain_loop(n_keep_chunks, dispatch, drain, pipeline):
 
 def _summary_result(res, acc, empty_shape):
     """Finalize summary-mode collection (shared): running sums -> posterior
-    mean/variance fields; the draw cubes come back empty."""
+    mean/variance fields; the draw cubes come back empty unless the
+    quantile subsample (summary_draws) already filled them."""
     cnt = max(float(np.asarray(acc.count)), 1.0)
     w_mean = np.asarray(acc.w_sum) / cnt
     yh_mean = np.asarray(acc.yh_sum) / cnt
@@ -546,8 +568,9 @@ def _summary_result(res, acc, empty_shape):
         np.asarray(acc.yh_sq) / cnt - yh_mean**2, 0.0
     )
     res["summary_count"] = cnt
-    res["w"] = np.zeros(empty_shape)
-    res["yhat"] = np.zeros(empty_shape)
+    if "w" not in res:
+        res["w"] = np.zeros(empty_shape)
+        res["yhat"] = np.zeros(empty_shape)
 
 
 def _chunk_cost(ex):
@@ -599,6 +622,12 @@ def run_mcmc(
     n = ms.n
     wire = _resolve_wire(cfg, ms)
     summary = cfg.collect == "summary"
+    # summary + summary_draws: every stride-th kept draw is also retained
+    # (for quantiles); the slice happens INSIDE the chunk program, so only
+    # ~summary_draws rows of (n,) ever cross the device->host wire
+    sub_stride = 0
+    if summary and cfg.summary_draws > 0 and cfg.keep > 0:
+        sub_stride = max(1, int(np.ceil(cfg.keep / cfg.summary_draws)))
 
     # Two ways to hand the model to XLA.  const_model=True closes over ms:
     # every model array is inlined into the program as a literal constant,
@@ -647,12 +676,17 @@ def run_mcmc(
                     yh_sq=acc.yh_sq + upd * (yh * yh),
                 )
                 out = (s.beta, 1.0 / s.tausq_inv, s.theta)
+                if sub_stride:
+                    out += ((w_k.astype(wire) if wire is not None else w_k),)
             else:
                 out_w = s.w[:n].astype(wire) if wire is not None else s.w[:n]
                 out = (out_w, s.beta, 1.0 / s.tausq_inv, s.theta)
             return (s, acc), out
 
-        return jax.lax.scan(body, carry, xs)
+        c2, ys = jax.lax.scan(body, carry, xs)
+        if sub_stride:
+            ys = (*ys[:3], ys[3][::sub_stride])
+        return c2, ys
 
     if const_model:
         _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
@@ -763,8 +797,9 @@ def run_mcmc(
 
     sinks = _make_sinks(sink_dir, summary, sink_append)
 
-    out_keys = (("beta", "tausq", "theta") if summary
-                else ("w", "yhat", "beta", "tausq", "theta"))
+    out_keys = (("beta", "tausq", "theta")
+                + (("w", "yhat") if sub_stride else ())
+                if summary else ("w", "yhat", "beta", "tausq", "theta"))
     outs = {k: [] for k in out_keys}
     drained = 0
     # pipelined drain (see _drain_loop); disabled when checkpointing so the
@@ -792,10 +827,15 @@ def run_mcmc(
 
     def _drain(dev_outs, m_take, rep_snap):
         nonlocal drained
-        theta_s, tausq_s = _drain_samples(
-            dev_outs, m_take, summary=summary, wire=wire, sinks=sinks,
-            outs=outs, yhat_host=_yhat_host,
+        theta_s, tausq_s, beta_s = _drain_samples(
+            dev_outs[:3] if sub_stride else dev_outs, m_take,
+            summary=summary, wire=wire, sinks=sinks, outs=outs,
+            yhat_host=_yhat_host,
         )
+        if sub_stride:
+            _drain_subsample(dev_outs[3], m_take, sub_stride, beta_s,
+                             tausq_s, wire=wire, outs=outs,
+                             yhat_host=_yhat_host)
         drained += m_take
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
@@ -872,6 +912,9 @@ def run_mcmc_chains(
     C = int(np.asarray(states.theta).shape[0])
     wire = _resolve_wire(cfg, ms)
     summary = cfg.collect == "summary"
+    sub_stride = 0  # summary quantile subsample; see run_mcmc
+    if summary and cfg.summary_draws > 0 and cfg.keep > 0:
+        sub_stride = max(1, int(np.ceil(cfg.keep / cfg.summary_draws)))
 
     if mesh is not None:
         from spamtree_tpu.parallel.sharding import chain_sharded
@@ -924,13 +967,18 @@ def run_mcmc_chains(
                     yh_sq=acc.yh_sq + upd * (yh * yh),
                 )
                 out = (s.beta, 1.0 / s.tausq_inv, s.theta)
+                if sub_stride:
+                    out += ((w_k.astype(wire) if wire is not None else w_k),)
             else:
                 out_w = (s.w[:, :n].astype(wire) if wire is not None
                          else s.w[:, :n])
                 out = (out_w, s.beta, 1.0 / s.tausq_inv, s.theta)
             return (s, acc), out
 
-        return jax.lax.scan(body, carry, xs)
+        c2, ys = jax.lax.scan(body, carry, xs)
+        if sub_stride:
+            ys = (*ys[:3], ys[3][::sub_stride])
+        return c2, ys
 
     if const_model:
         _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
@@ -1010,8 +1058,9 @@ def run_mcmc_chains(
 
     sinks = _make_sinks(sink_dir, summary, sink_append)
 
-    out_keys = (("beta", "tausq", "theta") if summary
-                else ("w", "yhat", "beta", "tausq", "theta"))
+    out_keys = (("beta", "tausq", "theta")
+                + (("w", "yhat") if sub_stride else ())
+                if summary else ("w", "yhat", "beta", "tausq", "theta"))
     outs = {k: [] for k in out_keys}
     drained = 0
     pipeline = checkpoint_path is None  # see _drain_loop
@@ -1034,10 +1083,15 @@ def run_mcmc_chains(
 
     def _drain(dev_outs, m_take):
         nonlocal drained
-        _drain_samples(
-            dev_outs, m_take, summary=summary, wire=wire, sinks=sinks,
-            outs=outs, yhat_host=_yhat_host,
+        theta_s, tausq_s, beta_s = _drain_samples(
+            dev_outs[:3] if sub_stride else dev_outs, m_take,
+            summary=summary, wire=wire, sinks=sinks, outs=outs,
+            yhat_host=_yhat_host,
         )
+        if sub_stride:
+            _drain_subsample(dev_outs[3], m_take, sub_stride, beta_s,
+                             tausq_s, wire=wire, outs=outs,
+                             yhat_host=_yhat_host)
         drained += m_take
         _save(states, chainkeys)
         if verbose:

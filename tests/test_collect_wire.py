@@ -66,13 +66,45 @@ def test_summary_mode_chains():
     """Summary accumulators carry a chain axis under the vmapped driver."""
     mcmc = dict(keep=8, burn=4, thin=1)  # chunk=5: truncated final chunk
     r = spamtree(*_data(n=200), mcmc=mcmc, n_chains=2,
-                 settings=dict(collect="summary", chunk=5), **KW)
+                 settings=dict(collect="summary", chunk=5,
+                               summary_draws=4), **KW)
     n = 200
     assert r["summary_count"] == 8
     assert r["w_mean"].shape == (2, n)
+    # quantile subsample carries the chain axis: stride 2 over takes (5, 3)
+    assert r["w_mcmc"].shape == (5, 2, n)
+    assert np.isfinite(r["yhat_mcmc"]).all()
     assert r["yhat_var"].shape == (2, n)
     assert np.isfinite(r["w_mean"]).all() and (r["w_var"] >= 0).all()
     assert not np.allclose(r["w_mean"][0], r["w_mean"][1])
+
+
+def test_summary_draws_quantile_subsample():
+    """settings=dict(collect="summary", summary_draws=m) keeps ~m strided
+    draws alongside the exact moments: the retained w draws must bit-match
+    the collect-all run's draws at the strided kept positions (same seed =>
+    same trajectory; the slice is taken inside the chunk program)."""
+    mcmc = dict(keep=24, burn=8, thin=1)
+    ra = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
+                  settings=dict(wire_dtype="none", chunk=10), **KW)
+    rs = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
+                  settings=dict(wire_dtype="none", collect="summary",
+                                chunk=10, summary_draws=8), **KW)
+    # stride = ceil(24/8) = 3, applied within each chunk (takes 10, 10, 4)
+    idx = [ci * 10 + j for ci, take in enumerate([10, 10, 4])
+           for j in range(0, take, 3)]
+    assert rs["w_mcmc"].shape == (len(idx), ra["w_mcmc"].shape[1])
+    assert np.array_equal(rs["w_mcmc"], ra["w_mcmc"][idx])
+    assert np.isfinite(rs["yhat_mcmc"]).all()
+    assert rs["yhat_mcmc"].shape == rs["w_mcmc"].shape
+    # exact moments still come from ALL 24 draws, not the subsample
+    assert rs["summary_count"] == 24
+    np.testing.assert_allclose(rs["w_mean"], ra["w_mcmc"].mean(0),
+                               rtol=1e-9, atol=1e-11)
+    # posterior intervals from the subsample are usable and bracket the mean
+    lo, hi = np.quantile(rs["w_mcmc"], [0.05, 0.95], axis=0)
+    frac = np.mean((rs["w_mean"] >= lo) & (rs["w_mean"] <= hi))
+    assert frac > 0.7, frac
 
 
 def test_wire_f16_within_precision():
