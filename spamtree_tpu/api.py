@@ -500,8 +500,18 @@ def spamtree(
     }
     if settings["collect"] == "summary":
         # summary mode: device-accumulated posterior moments instead of the
-        # full (keep, n) draw arrays (w_mcmc/yhat_mcmc come back empty)
+        # full (keep, n) draw arrays (w_mcmc/yhat_mcmc hold the optional
+        # summary_draws quantile subsample, else come back empty)
         for k in ("w_mean", "w_var", "yhat_mean", "yhat_var",
                   "summary_count"):
             out[k] = res[k]
+    if n_chains > 1 and np.ndim(res["theta"]) == 3 \
+            and res["theta"].shape[0] >= 4:
+        # multi-chain convergence diagnostics on the (keep, C, n_theta)
+        # draws (split-Rhat / bulk ESS; beyond the reference, which is
+        # single-chain only)
+        from spamtree_tpu.utils.summaries import ess, rhat
+
+        out["theta_rhat"] = rhat(res["theta"])
+        out["theta_ess"] = ess(res["theta"])
     return out

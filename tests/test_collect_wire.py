@@ -74,6 +74,10 @@ def test_summary_mode_chains():
     # quantile subsample carries the chain axis: stride 2 over takes (5, 3)
     assert r["w_mcmc"].shape == (5, 2, n)
     assert np.isfinite(r["yhat_mcmc"]).all()
+    # multi-chain runs surface convergence diagnostics on the theta draws
+    nt = r["theta_mcmc"].shape[-1]
+    assert r["theta_rhat"].shape == (nt,)
+    assert r["theta_ess"].shape == (nt,)
     assert r["yhat_var"].shape == (2, n)
     assert np.isfinite(r["w_mean"]).all() and (r["w_var"] >= 0).all()
     assert not np.allclose(r["w_mean"][0], r["w_mean"][1])

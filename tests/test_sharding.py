@@ -185,6 +185,31 @@ def test_spamtree_devices_matches_unsharded():
     assert not np.allclose(got2["w_mcmc"][:, 0], got2["w_mcmc"][:, 1])
 
 
+def test_resume_with_devices_mesh(tmp_path):
+    """resume_from= composes with the public devices= mesh knob: a sharded
+    run checkpointed halfway resumes to bit-identical draws vs the
+    uninterrupted sharded run (the loaded state re-sweeps on the SHARDED
+    model, so the rebuilt factors carry the same layout)."""
+    from spamtree_tpu.api import spamtree
+
+    coords, na, mv, y, X, rng = _data()
+    yy = np.where(na, y, np.nan)
+    kw = dict(mv_id=mv, cell_size=16, K=2,
+              settings=dict(wire_dtype="none", chunk=3),
+              dtype=jnp.float64, seed=9, devices=jax.devices())
+    full = spamtree(yy, X, coords, mcmc=dict(keep=6, burn=3), **kw)
+    ck = str(tmp_path / "ck.npz")
+    spamtree(yy, X, coords, mcmc=dict(keep=3, burn=3), checkpoint_path=ck,
+             **kw)
+    res = spamtree(yy, X, coords, mcmc=dict(keep=6, burn=3), resume_from=ck,
+                   **kw)
+    assert res["resumed_kept_already"] == 3
+    np.testing.assert_allclose(res["w_mcmc"], full["w_mcmc"][3:],
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(res["theta_mcmc"], full["theta_mcmc"][:, 3:],
+                               rtol=1e-12)
+
+
 def test_run_mcmc_chains_unsharded_matches_mesh():
     """Chain vmap must be layout-independent too: same stacked states with
     and without the mesh give identical samples."""
