@@ -121,6 +121,33 @@ def test_no_missing_thinned():
     assert cc > 0.85, cc
 
 
+def test_multiinput_4d_domain():
+    """dd=4 input domain routes to the nonspatial anisotropic exponential
+    kernel (model 0; reference spamtree_fit.R:141-157) through the public
+    API: partitioner, schedule and sampler are dimension-generic."""
+    rng = np.random.default_rng(5)
+    n = 600
+    coords = rng.uniform(size=(n, 4))
+    w = np.sin(3 * coords[:, 0]) * np.cos(2 * coords[:, 1]) \
+        + 0.5 * coords[:, 2]
+    X = rng.normal(size=(n, 2))
+    y_full = X @ np.array([0.5, -1.0]) + w + 0.1 * rng.normal(size=n)
+    y = y_full.copy()
+    miss = rng.uniform(size=n) < 0.1
+    y[miss] = np.nan
+    out = spamtree(y, X, coords, cell_size=16, mcmc=dict(keep=50, burn=50),
+                   dtype=jnp.float64, seed=2)
+    order = out["order"]
+    beta_hat = out["beta_mcmc"][:, :, 0].mean(axis=1)
+    assert np.abs(beta_hat - [0.5, -1.0]).max() < 0.2, beta_hat
+    yp = out["yhat_mcmc"].mean(axis=0)
+    mo = miss[order]
+    rmspe = np.sqrt(np.mean((yp[mo] - y_full[order][mo]) ** 2))
+    assert rmspe < 0.5 * np.std(y_full), rmspe
+    w_hat = out["w_mcmc"].mean(axis=0)
+    assert np.corrcoef(w_hat, w[order])[0, 1] > 0.9
+
+
 def test_checkpoint_run_and_unknown_knob(tmp_path):
     """checkpoint_path= engages the non-pipelined drain (save after every
     chunk) and writes a loadable state file; and a typo'd knob dict key
