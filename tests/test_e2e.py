@@ -121,6 +121,30 @@ def test_no_missing_thinned():
     assert cc > 0.85, cc
 
 
+@pytest.mark.parametrize("kw", [
+    dict(K=3),
+    dict(start_level=1, tree_depth=3),
+    dict(tree_depth=2, last_not_reference=False),
+    dict(limited_tree=True),
+    dict(cherrypick_same_margin=False, cherrypick_group_locations=False),
+], ids=["K3", "start_level", "shallow_all_ref", "limited", "no_cherrypick"])
+def test_tree_knob_configs(kw):
+    """Tree-shape knobs through the PUBLIC API (reference make_tree.R
+    surface): every combination must run end-to-end and beat the trivial
+    predictor on held-out rows."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=11)
+    out = spamtree(y, X, coords, cell_size=9,
+                   mcmc=dict(keep=30, burn=30), dtype=jnp.float64, seed=3,
+                   **kw)
+    order = out["order"]
+    assert out["yhat_mcmc"].shape == (30, len(y))
+    assert np.isfinite(out["yhat_mcmc"]).all()
+    yp = out["yhat_mcmc"].mean(axis=0)
+    mo = miss[order]
+    rmspe = np.sqrt(np.mean((yp[mo] - y_full[order][mo]) ** 2))
+    assert rmspe < np.nanstd(y_full), (kw, rmspe)
+
+
 def test_multiinput_4d_domain():
     """dd=4 input domain routes to the nonspatial anisotropic exponential
     kernel (model 0; reference spamtree_fit.R:141-157) through the public
