@@ -1041,6 +1041,38 @@ def run_mcmc_chains(
     t0 = time.time()
     chainkeys = states.key
     fn0 = lambda: keep_compiled if keep_compiled is not None else keep_scan
+    # rolling-window + cumulative acceptance aggregated over chains, same
+    # reporting engineering as the single-chain driver (mh_adapt.h:137-148);
+    # verbose>=2 adds the per-chain acceptance vector
+    prev = dict(acc=0.0, prop=0.0, t=t0, it=0)
+
+    def _snap_ram(st):
+        """Fresh buffers (+0 escapes the donated carry) with async host
+        copies -- the drain may run one dispatched chunk later."""
+        parts = (st.ram.accept_count + 0, st.ram.propos_count + 0)
+        for a in parts:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return parts
+
+    def _report(phase, done, total, snap, iters_done):
+        acc_arr, prop_arr = snap
+        acc_c = np.asarray(acc_arr, dtype=np.float64)
+        prop_c = np.asarray(prop_arr, dtype=np.float64)
+        acc, prop = float(acc_c.sum()), float(prop_c.sum())
+        now = time.time()
+        roll = (acc - prev["acc"]) / max(prop - prev["prop"], 1.0)
+        ms_it = 1e3 * (now - prev["t"]) / max(iters_done - prev["it"], 1)
+        print(f"[{phase}] {done}/{total} x {C} chains, {now - t0:.2f}s, "
+              f"{ms_it:.1f}ms/iter, accept {roll:.2%} (window) "
+              f"{acc / max(prop, 1.0):.2%} (cumulative)")
+        if int(verbose) >= 2:
+            by = acc_c / np.maximum(prop_c, 1.0)
+            print(f"  accept by chain: {np.array2string(by, precision=3)}")
+        prev.update(acc=acc, prop=prop, t=now, it=iters_done)
+
     for bi in range(n_burn_chunks):
         chainkeys, bkeys = _next_keys_keep(chainkeys, mc)
         carry, _void = fn0()(ms, carry, (_shard_keys(bkeys), flags_burn))
@@ -1048,10 +1080,8 @@ def run_mcmc_chains(
         _save(carry[0], chainkeys)
         if verbose:
             jax.block_until_ready(carry[0].w)
-            acc = float(np.sum(np.asarray(carry[0].ram.accept_count)))
-            prop = float(np.sum(np.asarray(carry[0].ram.propos_count)))
-            print(f"[burn] {(bi + 1) * ipc}/{burn_actual} x {C} chains, "
-                  f"{time.time()-t0:.2f}s, accept {acc/max(prop,1):.2%}")
+            _report("burn", (bi + 1) * ipc, burn_actual,
+                    _snap_ram(carry[0]), (bi + 1) * ipc)
     states, _acc = carry
     states = states._replace(key=chainkeys)
     carry = (states, _acc)
@@ -1079,9 +1109,9 @@ def run_mcmc_chains(
                 a.copy_to_host_async()
             except Exception:
                 pass
-        return cur, take
+        return cur, take, _snap_ram(states) if verbose else None
 
-    def _drain(dev_outs, m_take):
+    def _drain(dev_outs, m_take, rep_snap):
         nonlocal drained
         theta_s, tausq_s, beta_s = _drain_samples(
             dev_outs[:3] if sub_stride else dev_outs, m_take,
@@ -1095,8 +1125,8 @@ def run_mcmc_chains(
         drained += m_take
         _save(states, chainkeys)
         if verbose:
-            print(f"[keep] {drained}/{cfg.keep} x {C} chains, "
-                  f"{time.time()-t0:.2f}s")
+            _report("keep", drained, cfg.keep, rep_snap,
+                    burn_actual + drained * cfg.thin)
 
     _drain_loop(n_keep_chunks, _dispatch, _drain, pipeline)
 
