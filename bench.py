@@ -106,7 +106,7 @@ CONFIGS = {
 
 
 def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
-               n_chains=1, verbose=False, collect="all"):
+               n_chains=1, verbose=False, collect="all", chunk=50):
     from spamtree_tpu import spamtree
 
     c = CONFIGS[cfg_id]
@@ -120,7 +120,7 @@ def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
         y - ybar, X, coords, mv_id=mv,
         cell_size=cell_size,
         mcmc=dict(keep=keep, burn=burn, thin=thin),
-        settings=dict(collect=collect),
+        settings=dict(collect=collect, chunk=chunk),
         verbose=verbose, precompile=True, n_chains=n_chains,
         **c["kwargs"],
     )
@@ -188,6 +188,11 @@ def main():
                     help="independent end-to-end trials; the headline value "
                          "is the MEDIAN it/s (this machine shows up to ~30%% "
                          "run-to-run wall variance, BENCH_RESULTS.md)")
+    ap.add_argument("--chunk", type=int, default=200,
+                    help="kept samples per device->host transfer chunk; "
+                         "larger amortizes per-chunk dispatch (~0.2 s each "
+                         "through the relay), smaller tightens interrupt "
+                         "granularity")
     args = ap.parse_args()
 
     if args.n_per_q is not None:
@@ -202,7 +207,7 @@ def main():
         runs.append(run_config(args.config, keep=args.keep, burn=args.burn,
                                thin=args.thin, cell_size=args.cell_size,
                                n_chains=args.n_chains, verbose=args.verbose,
-                               collect=args.collect))
+                               collect=args.collect, chunk=args.chunk))
     ips_runs = [x["ips"] for x in runs]
     med = int(np.argsort(ips_runs)[len(ips_runs) // 2])
     r = dict(runs[med])  # headline = the median-throughput trial (copy:
