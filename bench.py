@@ -106,7 +106,7 @@ CONFIGS = {
 
 
 def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
-               n_chains=1, verbose=False, collect="all", chunk=50):
+               n_chains=1, verbose=False, collect="all", chunk=200):
     from spamtree_tpu import spamtree
 
     c = CONFIGS[cfg_id]

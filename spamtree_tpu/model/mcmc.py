@@ -430,6 +430,91 @@ def _chunk_geometry(cfg: MCMCConfig, mesh):
             flags_burn, flags_keep, flags_last)
 
 
+def _subsample_plan(cfg: MCMCConfig, mc: int, summary: bool):
+    """Summary-mode quantile-subsample plan (``summary_draws``), shared by
+    both drivers.  The retained w rows are sliced INSIDE the chunk program
+    with a static local stride, so only they cross the device->host wire --
+    but a chunk-local slice cannot retain fewer than one row per chunk, so
+    when the requested global stride exceeds the chunk length the plan adds
+    a chunk-level stride: only every ``chunk_stride``-th chunk's subsample
+    output is fetched at all (the skipped chunks' rows never cross the
+    wire), keeping the total at ~summary_draws for any chunk geometry.
+    Returns (sub_stride, chunk_stride); sub_stride 0 = subsample off."""
+    if not (summary and cfg.summary_draws > 0 and cfg.keep > 0):
+        return 0, 1
+    g = max(1, int(np.ceil(cfg.keep / cfg.summary_draws)))  # global stride
+    if g <= mc:
+        return g, 1
+    return mc, max(1, int(round(g / mc)))
+
+
+def _out_keys(summary: bool, sub_stride: int):
+    """Host-side collection keys, shared by both drivers."""
+    if not summary:
+        return ("w", "yhat", "beta", "tausq", "theta")
+    return ("beta", "tausq", "theta") + (("w", "yhat") if sub_stride else ())
+
+
+class _Reporter:
+    """Rolling-window + cumulative acceptance reporting shared by both
+    drivers (reference: RAMAdapt::print/print_summary, mh_adapt.h:137-148,
+    printed from spamtree_fit.cpp:334-372).  ``chains=C`` switches the
+    header to the aggregate-over-chains form and verbose>=2 to per-chain
+    output."""
+
+    def __init__(self, t0, verbose, chains=0):
+        self.t0, self.verbose, self.C = t0, int(verbose), chains
+        self.prev = dict(acc=0.0, prop=0.0, t=t0, it=0)
+
+    def snap(self, st):
+        """Tiny report fields as FRESH device buffers (the +0 escapes the
+        carry's donation, so the snapshot stays valid across the next
+        chunk's dispatch in pipelined mode) with async host copies; becomes
+        ready exactly when its chunk finishes."""
+        parts = (st.ram.accept_count + 0, st.ram.propos_count + 0,
+                 st.theta + 0, 1.0 / st.tausq_inv)
+        for a in parts:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return parts
+
+    def report(self, phase, done, total, snap, iters_done):
+        p = self.prev
+        acc_c = np.asarray(snap[0], dtype=np.float64)
+        prop_c = np.asarray(snap[1], dtype=np.float64)
+        acc, prop = float(acc_c.sum()), float(prop_c.sum())
+        now = time.time()
+        roll = (acc - p["acc"]) / max(prop - p["prop"], 1.0)
+        ms_it = 1e3 * (now - p["t"]) / max(iters_done - p["it"], 1)
+        hdr = f"{done}/{total}" + (f" x {self.C} chains" if self.C else "")
+        print(f"[{phase}] {hdr}, {now - self.t0:.2f}s, {ms_it:.1f}ms/iter, "
+              f"accept {roll:.2%} (window) {acc / max(prop, 1.0):.2%} "
+              f"(cumulative)")
+        if self.verbose >= 2:  # theta/tausq window report
+            if self.C:
+                by = acc_c / np.maximum(prop_c, 1.0)
+                print(f"  accept by chain: "
+                      f"{np.array2string(by, precision=3)}")
+            print(f"  theta = "
+                  f"{np.array2string(np.asarray(snap[2]), precision=4)}")
+            print(f"  tausq = "
+                  f"{np.array2string(np.asarray(snap[3]), precision=5)}")
+        self.prev = dict(acc=acc, prop=prop, t=now, it=iters_done)
+
+    def printall(self, theta_s, tausq_s, base):
+        """verbose>=3: per-kept-iteration theta/tausq, printed at drain time
+        (the reference prints every iteration under printall,
+        spamtree_fit.cpp:344-350); the values ride the existing transfer,
+        costing nothing when off."""
+        if self.verbose >= 3:
+            for i in range(theta_s.shape[0]):
+                print(f"    it {base + i + 1}: theta="
+                      f"{np.array2string(theta_s[i], precision=4)} tausq="
+                      f"{np.array2string(tausq_s[i], precision=5)}")
+
+
 def _make_yhat_host(ms: ModelStatic, n: int, rng):
     """Host-side posterior-predictive reconstruction shared by both drivers:
     yhat = X beta + w + tau z, exactly the reference's spamtree_fit.cpp:384
@@ -568,7 +653,9 @@ def _summary_result(res, acc, empty_shape):
         np.asarray(acc.yh_sq) / cnt - yh_mean**2, 0.0
     )
     res["summary_count"] = cnt
-    if "w" not in res:
+    if "w" not in res or res["w"].size == 0:
+        # also normalizes the (0,) placeholder left by an interrupt before
+        # the first drain when summary_draws was active
         res["w"] = np.zeros(empty_shape)
         res["yhat"] = np.zeros(empty_shape)
 
@@ -622,12 +709,13 @@ def run_mcmc(
     n = ms.n
     wire = _resolve_wire(cfg, ms)
     summary = cfg.collect == "summary"
+    (mc, ipc, n_burn_chunks, burn_actual, n_keep_chunks,
+     flags_burn, flags_keep, flags_last) = _chunk_geometry(cfg, mesh)
     # summary + summary_draws: every stride-th kept draw is also retained
     # (for quantiles); the slice happens INSIDE the chunk program, so only
-    # ~summary_draws rows of (n,) ever cross the device->host wire
-    sub_stride = 0
-    if summary and cfg.summary_draws > 0 and cfg.keep > 0:
-        sub_stride = max(1, int(np.ceil(cfg.keep / cfg.summary_draws)))
+    # ~summary_draws rows of (n,) ever cross the device->host wire (see
+    # _subsample_plan for the stride > chunk case)
+    sub_stride, sub_cstride = _subsample_plan(cfg, mc, summary)
 
     # Two ways to hand the model to XLA.  const_model=True closes over ms:
     # every model array is inlined into the program as a literal constant,
@@ -702,9 +790,6 @@ def run_mcmc(
     yhat_rng = np.random.default_rng(int(np.asarray(state.key).ravel()[-1]))
     _yhat_host = _make_yhat_host(ms, n, yhat_rng)
 
-    (mc, ipc, n_burn_chunks, burn_actual, n_keep_chunks,
-     flags_burn, flags_keep, flags_last) = _chunk_geometry(cfg, mesh)
-
     def _keys_chunk(sub):
         ck = jax.random.split(sub, mc * (cfg.thin + 1)).reshape(
             mc, cfg.thin + 1, 2
@@ -738,41 +823,7 @@ def run_mcmc(
 
     t0 = time.time()
     key = state.key
-    # rolling acceptance over the window since the last report, next to the
-    # cumulative rate (reference: RAMAdapt::print/print_summary,
-    # mh_adapt.h:137-148, printed from spamtree_fit.cpp:334-372)
-    prev_acc, prev_prop, prev_t, prev_it = 0.0, 0.0, t0, 0
-
-    def _snap(st):
-        """Tiny report fields as FRESH device buffers (the +0 escapes the
-        carry's donation, so the snapshot stays valid across the next
-        chunk's dispatch in pipelined mode) with async host copies; becomes
-        ready exactly when its chunk finishes."""
-        parts = (st.ram.accept_count + 0, st.ram.propos_count + 0,
-                 st.theta + 0, 1.0 / st.tausq_inv)
-        for a in parts:
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-        return parts
-
-    def _report(phase, done, total, snap, iters_done):
-        nonlocal prev_acc, prev_prop, prev_t, prev_it
-        acc, prop = float(snap[0]), float(snap[1])
-        cum = acc / max(prop, 1.0)
-        roll = (acc - prev_acc) / max(prop - prev_prop, 1.0)
-        now = time.time()
-        ms_it = 1e3 * (now - prev_t) / max(iters_done - prev_it, 1)
-        print(
-            f"[{phase}] {done}/{total}, {now - t0:.2f}s, {ms_it:.1f}ms/iter, "
-            f"accept {roll:.2%} (window) {cum:.2%} (cumulative)"
-        )
-        if int(verbose) >= 2:  # printall equivalent (spamtree_fit.cpp:344-350)
-            print(f"  theta = {np.array2string(np.asarray(snap[2]), precision=4)}")
-            print(f"  tausq = {np.array2string(np.asarray(snap[3]), precision=5)}")
-        prev_acc, prev_prop, prev_t, prev_it = acc, prop, now, iters_done
-
+    rep = _Reporter(t0, verbose)
     _phase_dbg = bool(os.environ.get("SPAMTREE_PHASE_DEBUG"))
     fn0 = lambda: keep_compiled if keep_compiled is not None else keep_scan
     for bi in range(n_burn_chunks):
@@ -789,18 +840,15 @@ def run_mcmc(
 
             save_state(checkpoint_path, carry[0]._replace(key=key))
         if verbose:
-            _report("burn", (bi + 1) * ipc, burn_actual, _snap(carry[0]),
-                    (bi + 1) * ipc)
+            rep.report("burn", (bi + 1) * ipc, burn_actual,
+                       rep.snap(carry[0]), (bi + 1) * ipc)
     state, _acc = carry
     state = state._replace(key=key)
     carry = (state, _acc)
 
     sinks = _make_sinks(sink_dir, summary, sink_append)
 
-    out_keys = (("beta", "tausq", "theta")
-                + (("w", "yhat") if sub_stride else ())
-                if summary else ("w", "yhat", "beta", "tausq", "theta"))
-    outs = {k: [] for k in out_keys}
+    outs = {k: [] for k in _out_keys(summary, sub_stride)}
     drained = 0
     # pipelined drain (see _drain_loop); disabled when checkpointing so the
     # saved state never runs ahead of the drained samples
@@ -815,24 +863,27 @@ def run_mcmc(
         state, _acc = carry
         state = state._replace(key=key)
         carry = (state, _acc)
-        for a in cur:  # start the async device->host copies early
-            try:
+        # skipped-chunk subsample outputs are never fetched: no async copy,
+        # nothing crosses the wire (see _subsample_plan)
+        use_sub = bool(sub_stride) and ki % sub_cstride == 0
+        for a in (cur if (not sub_stride or use_sub) else cur[:3]):
+            try:  # start the async device->host copies early
                 a.copy_to_host_async()
             except Exception:
                 pass
-        # the _snap rides with the payload: in pipelined mode the live
+        # the snap rides with the payload: in pipelined mode the live
         # `state` is already one dispatched chunk ahead at drain time, and
         # reporting from it makes the final report a zero-delta
-        return cur, take, _snap(state) if verbose else None
+        return cur, take, use_sub, rep.snap(state) if verbose else None
 
-    def _drain(dev_outs, m_take, rep_snap):
+    def _drain(dev_outs, m_take, use_sub, rep_snap):
         nonlocal drained
         theta_s, tausq_s, beta_s = _drain_samples(
             dev_outs[:3] if sub_stride else dev_outs, m_take,
             summary=summary, wire=wire, sinks=sinks, outs=outs,
             yhat_host=_yhat_host,
         )
-        if sub_stride:
+        if use_sub:
             _drain_subsample(dev_outs[3], m_take, sub_stride, beta_s,
                              tausq_s, wire=wire, outs=outs,
                              yhat_host=_yhat_host)
@@ -844,18 +895,9 @@ def run_mcmc(
             # just-drained chunk's state here
             save_state(checkpoint_path, state)
         if verbose:
-            _report("keep", drained, cfg.keep, rep_snap,
-                    burn_actual + drained * cfg.thin)
-        if int(verbose) >= 3:
-            # true per-iteration printall (reference spamtree_fit.cpp:344-350
-            # prints theta/tausq every iteration under printall); here the
-            # per-kept-iteration values print at drain time, costing nothing
-            # when off (they ride the existing transfer)
-            base = drained - theta_s.shape[0]
-            for i in range(theta_s.shape[0]):
-                print(f"    it {base + i + 1}: theta="
-                      f"{np.array2string(theta_s[i], precision=4)} tausq="
-                      f"{np.array2string(tausq_s[i], precision=5)}")
+            rep.report("keep", drained, cfg.keep, rep_snap,
+                       burn_actual + drained * cfg.thin)
+        rep.printall(theta_s, tausq_s, drained - theta_s.shape[0])
 
     _drain_loop(n_keep_chunks, _dispatch, _drain, pipeline)
 
@@ -912,9 +954,10 @@ def run_mcmc_chains(
     C = int(np.asarray(states.theta).shape[0])
     wire = _resolve_wire(cfg, ms)
     summary = cfg.collect == "summary"
-    sub_stride = 0  # summary quantile subsample; see run_mcmc
-    if summary and cfg.summary_draws > 0 and cfg.keep > 0:
-        sub_stride = max(1, int(np.ceil(cfg.keep / cfg.summary_draws)))
+    (mc, ipc, n_burn_chunks, burn_actual, n_keep_chunks,
+     flags_burn, flags_keep, flags_last) = _chunk_geometry(cfg, mesh)
+    # summary quantile subsample; see run_mcmc / _subsample_plan
+    sub_stride, sub_cstride = _subsample_plan(cfg, mc, summary)
 
     if mesh is not None:
         from spamtree_tpu.parallel.sharding import chain_sharded
@@ -1005,9 +1048,6 @@ def run_mcmc_chains(
         it = ks[:, 1:].reshape(C, m, cfg.thin + 1, 2)
         return ks[:, 0], jnp.moveaxis(it, 0, 2)
 
-    (mc, ipc, n_burn_chunks, burn_actual, n_keep_chunks,
-     flags_burn, flags_keep, flags_last) = _chunk_geometry(cfg, mesh)
-
     acc0 = _moments_zero(ms, lead=(C,)) if summary else ()
     if summary and mesh is not None:
         from spamtree_tpu.parallel.sharding import chain_sharded
@@ -1043,35 +1083,8 @@ def run_mcmc_chains(
     fn0 = lambda: keep_compiled if keep_compiled is not None else keep_scan
     # rolling-window + cumulative acceptance aggregated over chains, same
     # reporting engineering as the single-chain driver (mh_adapt.h:137-148);
-    # verbose>=2 adds the per-chain acceptance vector
-    prev = dict(acc=0.0, prop=0.0, t=t0, it=0)
-
-    def _snap_ram(st):
-        """Fresh buffers (+0 escapes the donated carry) with async host
-        copies -- the drain may run one dispatched chunk later."""
-        parts = (st.ram.accept_count + 0, st.ram.propos_count + 0)
-        for a in parts:
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-        return parts
-
-    def _report(phase, done, total, snap, iters_done):
-        acc_arr, prop_arr = snap
-        acc_c = np.asarray(acc_arr, dtype=np.float64)
-        prop_c = np.asarray(prop_arr, dtype=np.float64)
-        acc, prop = float(acc_c.sum()), float(prop_c.sum())
-        now = time.time()
-        roll = (acc - prev["acc"]) / max(prop - prev["prop"], 1.0)
-        ms_it = 1e3 * (now - prev["t"]) / max(iters_done - prev["it"], 1)
-        print(f"[{phase}] {done}/{total} x {C} chains, {now - t0:.2f}s, "
-              f"{ms_it:.1f}ms/iter, accept {roll:.2%} (window) "
-              f"{acc / max(prop, 1.0):.2%} (cumulative)")
-        if int(verbose) >= 2:
-            by = acc_c / np.maximum(prop_c, 1.0)
-            print(f"  accept by chain: {np.array2string(by, precision=3)}")
-        prev.update(acc=acc, prop=prop, t=now, it=iters_done)
+    # verbose>=2 adds the per-chain acceptance vector + per-chain theta/tausq
+    rep = _Reporter(t0, verbose, chains=C)
 
     for bi in range(n_burn_chunks):
         chainkeys, bkeys = _next_keys_keep(chainkeys, mc)
@@ -1080,18 +1093,15 @@ def run_mcmc_chains(
         _save(carry[0], chainkeys)
         if verbose:
             jax.block_until_ready(carry[0].w)
-            _report("burn", (bi + 1) * ipc, burn_actual,
-                    _snap_ram(carry[0]), (bi + 1) * ipc)
+            rep.report("burn", (bi + 1) * ipc, burn_actual,
+                       rep.snap(carry[0]), (bi + 1) * ipc)
     states, _acc = carry
     states = states._replace(key=chainkeys)
     carry = (states, _acc)
 
     sinks = _make_sinks(sink_dir, summary, sink_append)
 
-    out_keys = (("beta", "tausq", "theta")
-                + (("w", "yhat") if sub_stride else ())
-                if summary else ("w", "yhat", "beta", "tausq", "theta"))
-    outs = {k: [] for k in out_keys}
+    outs = {k: [] for k in _out_keys(summary, sub_stride)}
     drained = 0
     pipeline = checkpoint_path is None  # see _drain_loop
 
@@ -1104,29 +1114,32 @@ def run_mcmc_chains(
         states, _acc = carry
         states = states._replace(key=chainkeys)
         carry = (states, _acc)
-        for a in cur:
+        # skipped-chunk subsample outputs are never fetched (_subsample_plan)
+        use_sub = bool(sub_stride) and ki % sub_cstride == 0
+        for a in (cur if (not sub_stride or use_sub) else cur[:3]):
             try:
                 a.copy_to_host_async()
             except Exception:
                 pass
-        return cur, take, _snap_ram(states) if verbose else None
+        return cur, take, use_sub, rep.snap(states) if verbose else None
 
-    def _drain(dev_outs, m_take, rep_snap):
+    def _drain(dev_outs, m_take, use_sub, rep_snap):
         nonlocal drained
         theta_s, tausq_s, beta_s = _drain_samples(
             dev_outs[:3] if sub_stride else dev_outs, m_take,
             summary=summary, wire=wire, sinks=sinks, outs=outs,
             yhat_host=_yhat_host,
         )
-        if sub_stride:
+        if use_sub:
             _drain_subsample(dev_outs[3], m_take, sub_stride, beta_s,
                              tausq_s, wire=wire, outs=outs,
                              yhat_host=_yhat_host)
         drained += m_take
         _save(states, chainkeys)
         if verbose:
-            _report("keep", drained, cfg.keep, rep_snap,
-                    burn_actual + drained * cfg.thin)
+            rep.report("keep", drained, cfg.keep, rep_snap,
+                       burn_actual + drained * cfg.thin)
+        rep.printall(theta_s, tausq_s, drained - theta_s.shape[0])
 
     _drain_loop(n_keep_chunks, _dispatch, _drain, pipeline)
 

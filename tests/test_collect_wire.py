@@ -111,6 +111,29 @@ def test_summary_draws_quantile_subsample():
     assert frac > 0.7, frac
 
 
+def test_summary_draws_stride_exceeds_chunk():
+    """When the requested global stride exceeds the chunk length, the
+    subsample must still retain ~summary_draws draws (NOT one per chunk):
+    the plan adds a chunk-level stride and the skipped chunks' subsample
+    rows never cross the wire (regression: keep=10000/chunk=50/
+    summary_draws=10 used to retain 200 draws)."""
+    mcmc = dict(keep=24, burn=8, thin=1)
+    ra = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
+                  settings=dict(wire_dtype="none", chunk=5), **KW)
+    rs = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
+                  settings=dict(wire_dtype="none", collect="summary",
+                                chunk=5, summary_draws=2), **KW)
+    # global stride g = ceil(24/2) = 12 > mc = 5 -> local stride 5 (row 0 of
+    # a used chunk), chunk stride round(12/5) = 2 -> chunks 0, 2, 4 ->
+    # global kept indices 0, 10, 20
+    assert rs["w_mcmc"].shape == (3, ra["w_mcmc"].shape[1])
+    assert np.array_equal(rs["w_mcmc"], ra["w_mcmc"][[0, 10, 20]])
+    # the exact moments still use ALL 24 draws
+    assert rs["summary_count"] == 24
+    np.testing.assert_allclose(rs["w_mean"], ra["w_mcmc"].mean(0),
+                               rtol=1e-9, atol=1e-11)
+
+
 def test_wire_f16_within_precision():
     """Default f32 runs ship w over the relay as float16; the reconstructed
     draws must match the full-precision wire within f16 rounding (2^-11
