@@ -230,3 +230,41 @@ def test_run_mcmc_chains_unsharded_matches_mesh():
         got = run_mcmc_chains(ms_sh, tspec.bounds, cfg, states2, mesh=mesh)
     np.testing.assert_allclose(got["w"], ref["w"], rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(got["theta"], ref["theta"], rtol=1e-10)
+
+
+def test_summary_collect_with_devices_mesh():
+    """collect="summary" composes with the public devices= mesh knob: the
+    sharded summary accumulators (chain_sharded running moments) must
+    reproduce the unsharded run's exact draw moments, for one chain and for
+    the (2, 4) chains-x-blocks factorization."""
+    from spamtree_tpu.api import spamtree
+
+    coords, na, mv, y, X, rng = _data()
+    yy = np.where(na, y, np.nan)
+    kw = dict(mv_id=mv, cell_size=16, K=2,
+              mcmc=dict(keep=6, burn=2, thin=1),
+              dtype=jnp.float64, seed=5)
+    ref = spamtree(yy, X, coords,
+                   settings=dict(wire_dtype="none"), **kw)
+    for n_chains in (1, 2):
+        got = spamtree(yy, X, coords, devices=jax.devices(),
+                       n_chains=n_chains,
+                       settings=dict(wire_dtype="none", collect="summary",
+                                     summary_draws=3), **kw)
+        assert got["summary_count"] == 6  # per-chain kept count
+        if n_chains == 1:
+            # same seed, same chain: moments equal the unsharded draws'
+            np.testing.assert_allclose(got["w_mean"], ref["w_mcmc"].mean(0),
+                                       rtol=1e-9, atol=1e-11)
+            np.testing.assert_allclose(got["w_var"], ref["w_mcmc"].var(0),
+                                       rtol=1e-8, atol=1e-11)
+        else:
+            assert got["w_mean"].shape == (2, len(coords))
+            assert np.isfinite(got["w_mean"]).all()
+            assert (got["w_var"] >= -1e-12).all()
+            assert not np.allclose(got["w_mean"][0], got["w_mean"][1])
+        # quantile subsample rows came over the wire with the right shape
+        lead = got["w_mcmc"].shape[0]
+        assert lead >= 2
+        assert got["w_mcmc"].shape[-1] == len(coords)
+        assert np.isfinite(got["w_mcmc"]).all()
