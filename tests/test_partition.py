@@ -148,3 +148,60 @@ def test_limited_tree():
         assert len(tree.parents[u]) <= 1
     sched = build_schedule(tree, limited_tree=True)
     assert sched.levels
+
+
+def test_fuzz_tree_schedule_invariants():
+    """Randomized knob sweep: every (n, q, dd, K, cell_size, start_level,
+    tree_depth, limited, miss, mvbias) draw must build a tree and schedule
+    whose internal invariants hold (the schedule's layout asserts and the
+    partitioner's coloring assert run on construction -- the reference
+    hard-fails the same way in make_gibbs_groups, spamtree_model.cpp:201-226)
+    and whose blocks exactly cover the rows."""
+    rng = np.random.default_rng(2026)
+    for trial in range(80):
+        n = int(rng.integers(60, 700))
+        q = int(rng.integers(1, 4))
+        dd = int(rng.integers(2, 4))
+        coords = rng.uniform(size=(n, dd))
+        mv = rng.integers(0, q, n)
+        miss = float(rng.choice([0.0, 0.1, 0.3]))
+        na = rng.uniform(size=n) > miss
+        if not na.any():  # all-missing is rejected upstream by the API
+            na[rng.integers(0, n)] = True
+        order = np.lexsort((np.arange(n),) + tuple(
+            coords[:, d] for d in reversed(range(dd))))
+        coords, na, mv = coords[order], na[order], mv[order]
+        kw = dict(
+            axis_cell_size=int(rng.integers(2, 8)),
+            K=int(rng.integers(2, 4)),
+            limited_tree=bool(rng.integers(0, 2)),
+            mvbias=float(rng.choice([0.0, 1.0])),
+            rng=np.random.default_rng(int(rng.integers(1 << 30))),
+        )
+        if rng.integers(0, 2):
+            kw["tree_depth"] = int(rng.integers(2, 5))
+        try:
+            tree = make_tree(coords, na, mv, **kw)
+            sched = build_schedule(tree, limited_tree=kw["limited_tree"])
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"trial {trial} failed with {kw}: {e}")
+        # exact row coverage, each row in exactly one block
+        seen = np.concatenate([tree.block_rows[u]
+                               for u in range(tree.n_blocks)
+                               if len(tree.block_rows[u])])
+        assert len(seen) == n and len(np.unique(seen)) == n, (trial, kw)
+        # sweep levels cover the observed rows exactly once; the prediction
+        # level covers the missing rows exactly once
+        lv_rows = [lvl.rows[lvl.rows < n].ravel() for lvl in sched.levels]
+        flat = np.concatenate([r for r in lv_rows if r.size])
+        assert len(flat) == int(na.sum()), (trial, kw)
+        assert len(np.unique(flat)) == len(flat), (trial, kw)
+        if sched.pred is not None:
+            prow = sched.pred.rows[sched.pred.rows < n].ravel()
+            assert len(prow) == int((~na).sum()), (trial, kw)
+            assert len(np.unique(prow)) == len(prow), (trial, kw)
+        else:
+            assert na.all(), (trial, kw)
+        # limited tree: at most one parent block per block
+        if kw["limited_tree"]:
+            assert all(len(p) <= 1 for p in tree.parents), (trial, kw)
