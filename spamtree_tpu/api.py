@@ -104,14 +104,18 @@ def spamtree(
     mcmc : dict(keep=, burn=, thin=).
     settings : dict(adapting=, mcmcsd=, curvature_sd=, ram_reference_warmup=,
         const_model=, collect=, wire_dtype=, summary_draws=, factor_dtype=,
-        lazy_init=,
+        lazy_init=, tuner_overlap=,
         chunk=).  chunk = kept samples per device->host transfer chunk
         (default 50): larger chunks amortize the per-dispatch round trip,
         smaller ones tighten checkpoint/interrupt granularity.
         mcmcsd None (default) uses a curvature-scaled initial proposal
         covariance (finite-difference Fisher diagonal at theta0); pass a
         scalar/matrix to override, or curvature_sd=False for the isotropic
-        scale-aware fallback.  collect="summary" accumulates posterior
+        scale-aware fallback.  tuner_overlap (default None = auto) runs the
+        CPU curvature tuner in a background thread overlapping the sampling
+        program's remote compile; auto enables it on every backend except
+        local CPU (where the two compiles contend for the same cores).
+        collect="summary" accumulates posterior
         moments on device (O(n) output); summary_draws=m additionally
         retains ~m thinned w/yhat draws in w_mcmc/yhat_mcmc (sliced inside
         the compiled chunk program, so the wire stays O(m*n)) -- enough
@@ -197,7 +201,8 @@ def spamtree(
         adapting=True, mcmcsd=None, curvature_sd=True,
         ram_reference_warmup=False, const_model=None,
         collect="all", wire_dtype=None, summary_draws=0,
-        factor_dtype=None, lazy_init=None, chunk=50), settings)
+        factor_dtype=None, lazy_init=None, chunk=50,
+        tuner_overlap=None), settings)
     prior = _merge("prior", dict(
         set_unif_bounds=None, btmlim=None, toplim=None, vlim=None,
         beta=None, tausq=None, theta=None), prior)
@@ -317,17 +322,61 @@ def spamtree(
         do_curv = False
     tb["lazy_init"] = bool(lazy)
     precomputed = None
+    tuner_join = None
     if resume_from is not None:
         pass  # load_state below rebuilds the factors with one sweep
     elif lazy:
         if do_curv:
             from spamtree_tpu.model.tuning import subsample_curvature_sd
 
-            settings["mcmcsd"] = subsample_curvature_sd(
-                cs, mvs, ys, xs, tspec.spec, tspec.bounds, tspec.start,
-                axis_cell_size=axis_size, K=K, start_tausq=start_tausq,
-                seed=seed, timings=tb,
-            )
+            # The CPU curvature tuner (seconds) and the sampling scan's
+            # remote compile (tens of seconds warm, minutes cold) have no
+            # data dependency: the tuned proposal covariance is a RUNTIME
+            # value of the chain state, never baked into the program.  Run
+            # the tuner in a background thread and join it inside the
+            # drivers' pre_burn_hook, AFTER the compile is issued -- the
+            # tuner rides the compile wait instead of serializing before
+            # it.  The state is built with the isotropic placeholder below
+            # and its RAM proposal patched at the join (ram_set_proposal).
+            # Auto-gated OFF on the local CPU backend: there the "remote"
+            # compile runs on the same cores as the tuner and the two
+            # concurrent XLA:CPU compiles contend (measured ~34% slower),
+            # while on remote-compile backends the host sits idle.
+            import jax
+
+            overlap = settings["tuner_overlap"]
+            if overlap is None:
+                overlap = jax.default_backend() != "cpu"
+            if not overlap:
+                settings["mcmcsd"] = subsample_curvature_sd(
+                    cs, mvs, ys, xs, tspec.spec, tspec.bounds, tspec.start,
+                    axis_cell_size=axis_size, K=K, start_tausq=start_tausq,
+                    seed=seed, timings=tb,
+                )
+        if do_curv and settings["mcmcsd"] is None:
+            import threading
+
+            _box = {}
+
+            def _tune():
+                try:
+                    _box["sd"] = subsample_curvature_sd(
+                        cs, mvs, ys, xs, tspec.spec, tspec.bounds,
+                        tspec.start, axis_cell_size=axis_size, K=K,
+                        start_tausq=start_tausq, seed=seed, timings=tb,
+                    )
+                except BaseException as e:  # re-raised at the join
+                    _box["err"] = e
+
+            _thr = threading.Thread(target=_tune, name="spamtree-tuner",
+                                    daemon=True)
+            _thr.start()
+
+            def tuner_join():
+                _thr.join()
+                if "err" in _box:
+                    raise _box["err"]
+                return _box["sd"]
     else:
         from spamtree_tpu.model.tuning import (
             curvature_sd_from_lls,
@@ -343,7 +392,10 @@ def spamtree(
     if settings["mcmcsd"] is None:
         # scale-aware isotropic fallback: the theta posterior contracts
         # like 1/sqrt(n), so the reference's fixed 0.01 logit-scale
-        # proposals are orders of magnitude too wide at large n
+        # proposals are orders of magnitude too wide at large n.  When the
+        # threaded curvature tuner is running this is only the PLACEHOLDER
+        # the state is built with; the pre_burn_hook patches the real
+        # proposal in before the first iteration.
         nt = tspec.n_theta
         settings["mcmcsd"] = min(
             0.01, 1.0 / (nt * np.sqrt(max(na_which.sum(), 1)))
@@ -430,6 +482,23 @@ def spamtree(
                   f"draws already taken, {cfg.burn} burn + "
                   f"{cfg.keep} keep remaining")
 
+    pre_burn_hook = None
+    if tuner_join is not None:
+        from spamtree_tpu.model.ram import ram_set_proposal
+
+        def pre_burn_hook(st):
+            # join point for the threaded curvature tuner: the drivers call
+            # this after the sampling-scan compile is issued, so the tuner
+            # wall time hides inside the compile wait
+            t_j = time.time()
+            sd = tuner_join()
+            tb["tuner_join_wait_s"] = round(time.time() - t_j, 2)
+            if verbose:
+                d = np.sqrt(np.diag(sd))
+                print(f"[tune] curvature proposal sd: "
+                      f"{np.array2string(d, precision=4)}")
+            return st._replace(ram=ram_set_proposal(st.ram, sd))
+
     t_ = time.time()
     if n_chains > 1:
         from spamtree_tpu.model.mcmc import run_mcmc_chains, stack_chain_states
@@ -447,7 +516,7 @@ def spamtree(
                               sink_dir=sink_dir,
                               sink_append=resume_from is not None,
                               const_model=settings["const_model"],
-                              mesh=mesh)
+                              mesh=mesh, pre_burn_hook=pre_burn_hook)
     else:
         state = state0 if state0 is not None else _mk_state(seed)
         _force(state)
@@ -457,7 +526,7 @@ def spamtree(
                        sink_dir=sink_dir,
                        sink_append=resume_from is not None,
                        const_model=settings["const_model"],
-                       mesh=mesh)
+                       mesh=mesh, pre_burn_hook=pre_burn_hook)
     tb["keep_compile_s"] = res.get("compile_time_s", 0.0)
 
     out = {

@@ -686,8 +686,15 @@ def run_mcmc(
     sink_append: bool = False,
     const_model: bool | None = None,
     mesh=None,
+    pre_burn_hook=None,
 ):
     """Burn + chunked keep phases; returns dict of host-side sample arrays.
+
+    ``pre_burn_hook(state) -> state`` (optional) runs after the program
+    compile is issued but before the first burn dispatch -- the join point
+    for work overlapped with the (minutes-long remote) compile, e.g. the
+    CPU curvature tuner patching the placeholder RAM proposal
+    (api.spamtree's lazy path).  It must preserve every leaf's aval.
 
     ONE compiled program serves both phases: burn runs the keep program in
     chunks of ``chunk*thin`` iterations with the prediction step gated off at
@@ -821,6 +828,10 @@ def run_mcmc(
         if verbose:
             print(f"[compile] {compile_s:.1f}s")
 
+    if pre_burn_hook is not None:
+        state = pre_burn_hook(state)
+        carry = (state, carry[1])
+
     t0 = time.time()
     key = state.key
     rep = _Reporter(t0, verbose)
@@ -936,10 +947,12 @@ def run_mcmc_chains(
     sink_dir: str | None = None,
     sink_append: bool = False,
     const_model: bool | None = None,
+    pre_burn_hook=None,
 ):
     """Run C independent chains in one program via vmap -- the multi-chain
     analog of ``run_mcmc`` with the same engineering: chunked burn (bounded
-    device-call length), AOT precompile, checkpointing, sample sinks.
+    device-call length), AOT precompile, checkpointing, sample sinks,
+    ``pre_burn_hook`` (see run_mcmc; here it patches the stacked states).
 
     Per-chain randomness derives from each chain's own ``state.key`` (set the
     chain seeds in ``init_state``), so chains are independent streams and the
@@ -1071,6 +1084,10 @@ def run_mcmc_chains(
         compile_s = time.time() - t_c
         if verbose:
             print(f"[compile] {compile_s:.1f}s")
+
+    if pre_burn_hook is not None:
+        states = pre_burn_hook(states)
+        carry = (states, carry[1])
 
     def _save(states, chainkeys):
         if checkpoint_path:

@@ -38,6 +38,28 @@ def ram_init(metropolis_sd: jax.Array) -> RAMState:
     )
 
 
+def ram_set_proposal(ram: RAMState, cov) -> RAMState:
+    """Replace the proposal covariance of a NOT-yet-started RAM state
+    host-side (numpy Cholesky + device_put -- no device program, so no
+    remote compile on the axon backend).  Used to patch a chain state that
+    was built with a placeholder proposal while the curvature tuner ran
+    concurrently with the sampling-scan compile (api.spamtree's lazy path).
+    Broadcasts over any chain lead axes and preserves dtype/sharding of the
+    existing leaves."""
+    import numpy as np
+
+    cov = np.asarray(cov, dtype=np.float64)
+    if cov.ndim < 2:
+        cov = np.eye(ram.paramsd.shape[-1]) * float(cov)
+    pa = np.linalg.cholesky(cov).astype(ram.paramsd.dtype)
+    pa = np.broadcast_to(pa, tuple(ram.paramsd.shape))
+    put = lambda h, like: jax.device_put(h, like.sharding)
+    return ram._replace(
+        paramsd=put(pa, ram.paramsd),
+        prodparam=put(pa / (G0 + 1.0), ram.prodparam),
+    )
+
+
 def ram_adapt(
     state: RAMState, U: jax.Array, alpha: jax.Array, mc: jax.Array,
     reference_warmup: bool = False,

@@ -351,3 +351,36 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(st.leveldata, st2.leveldata):
         assert np.allclose(np.asarray(a.H), np.asarray(b.H))
         assert np.allclose(np.asarray(a.prec), np.asarray(b.prec))
+
+
+def test_tuner_overlap_thread():
+    """settings["tuner_overlap"]=True runs the CPU curvature tuner in a
+    background thread joined by the drivers' pre_burn_hook (on remote-compile
+    backends this hides the tuner inside the compile wait; auto-off on local
+    CPU).  The patched RAM proposal must equal what ram_init builds from the
+    same covariance, and the threaded run must mix."""
+    import jax.numpy as jnp
+
+    from spamtree_tpu.model.ram import ram_init, ram_set_proposal
+
+    rng = np.random.default_rng(4)
+    cov = np.diag(rng.uniform(1e-4, 0.05, size=4))
+    a = ram_init(jnp.asarray(cov))
+    b = ram_set_proposal(ram_init(jnp.asarray(np.eye(4) * 0.01)), cov)
+    np.testing.assert_allclose(np.asarray(b.paramsd), np.asarray(a.paramsd),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.prodparam),
+                               np.asarray(a.prodparam), rtol=1e-12)
+
+    n = 300
+    coords = rng.uniform(size=(n, 2))
+    X = rng.normal(size=(n, 2))
+    y = X @ np.array([1.0, -0.5]) + rng.normal(size=n)
+    y[rng.uniform(size=n) < 0.1] = np.nan
+    res = spamtree(y, X, coords, cell_size=16, K=2,
+                   mcmc=dict(keep=40, burn=40), seed=2,
+                   settings=dict(tuner_overlap=True))
+    tb = res["setup_breakdown"]
+    assert "tuner_join_wait_s" in tb and "cpu_tuner_s" in tb
+    assert np.isfinite(res["w_mcmc"]).all()
+    assert 0.05 < res["accept_ratio"] < 0.95
