@@ -30,10 +30,22 @@ extern "C" {
 // ---- quantile thresholds: sorted(x)[i*n/k], i=1..k-1 (nth_element, O(n*k)) --
 void st_kthresholds(const double* x, int64_t n, int64_t k, double* out) {
   std::vector<double> buf(x, x + n);
+  if (k - 1 >= 16) {
+    // many cut points: one O(n log n) sort beats k O(n) selections (the
+    // deep tree levels ask for hundreds of thresholds over n ~ 1e6 rows;
+    // the naive nth_element loop measured 11.5 s of a 17.5 s tree build)
+    std::sort(buf.begin(), buf.end());
+    for (int64_t i = 1; i < k; i++) out[i - 1] = buf[i * n / k];
+    return;
+  }
+  // few cut points: ascending positions let each nth_element work on the
+  // suffix the previous call already partitioned
+  int64_t lo = 0;
   for (int64_t i = 1; i < k; i++) {
     int64_t q = i * n / k;
-    std::nth_element(buf.begin(), buf.begin() + q, buf.end());
+    std::nth_element(buf.begin() + lo, buf.begin() + q, buf.end());
     out[i - 1] = buf[q];
+    lo = q;
   }
 }
 

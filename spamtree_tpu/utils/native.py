@@ -71,8 +71,10 @@ def kthresholds(x: np.ndarray, k: int) -> np.ndarray:
     if lib is None or k <= 1:
         if k <= 1:
             return np.zeros(0)
-        xs = np.sort(x)
-        return xs[(np.arange(1, k) * len(x)) // k]
+        # multi-kth introselect: same order statistics as the native
+        # nth_element kernel without a full sort
+        pos = (np.arange(1, k) * len(x)) // k
+        return np.partition(x, pos)[pos]
     out = np.empty(k - 1, dtype=np.float64)
     lib.st_kthresholds(x, len(x), k, out)
     return out
