@@ -42,12 +42,17 @@ def _logistic(x, lo, hi):
 
 
 class DenseOracle:
-    """Univariate (q=1) SpamTree sampler on the AG10 fast path
-    C(h) = sigma2 * exp(-phi*h) with theta = (sigma2, ., ., phi)."""
+    """SpamTree sampler oracle; q = 1 uses the AG10 fast path
+    C(h) = sigma2 * exp(-phi*h) with theta = (sigma2, ., ., phi), q = 2 the
+    full AG10 eq.(7) cross-covariance with the reference's theta layout
+    (ai1 (q), ai2 (q), phi_i (q), thetamv, D lower-tri) -- implemented here
+    directly from the formulas (reference:
+    src/covariance_functions.cpp:34-75,213-298), sharing no code with the
+    JAX kernels under test."""
 
     def __init__(self, tree, coords, y, X, bounds, start_theta,
                  start_tausq=0.1, beta_Vi=0.01, tausq_ab=(2.01, 1.0),
-                 mcmcsd=0.05, seed=0):
+                 mcmcsd=0.05, seed=0, mv_id=None, q=1):
         self.rng = np.random.default_rng(seed)
         self.coords = np.asarray(coords, dtype=np.float64)
         self.y = np.asarray(y, dtype=np.float64)
@@ -55,6 +60,9 @@ class DenseOracle:
         self.y0 = np.where(self.obs, self.y, 0.0)
         self.X = np.asarray(X, dtype=np.float64)
         self.n, self.p = self.X.shape
+        self.q = int(q)
+        self.mv = (np.zeros(self.n, dtype=np.int64) if mv_id is None
+                   else np.asarray(mv_id, dtype=np.int64))
         self.bounds = np.asarray(bounds, dtype=np.float64)
         self.tausq_ab = tausq_ab
         Vi = np.asarray(beta_Vi, dtype=np.float64)
@@ -93,11 +101,11 @@ class DenseOracle:
             obs_ids, key=lambda u: -int(lv[u])
         )
 
-        # state
+        # state (beta/tausq carry an outcome axis; q = 1 is the j = 0 slice)
         self.theta = np.asarray(start_theta, dtype=np.float64).copy()
-        self.tausq_inv = 1.0 / start_tausq
-        self.beta = np.zeros(self.p)
-        self.XB = self.X @ self.beta
+        self.tausq_inv = np.full(self.q, 1.0 / start_tausq)
+        self.beta = np.zeros((self.p, self.q))
+        self.XB = np.zeros(self.n)
         self.w = np.zeros(self.n)
         sd = np.asarray(mcmcsd, dtype=np.float64)
         self.paramsd = np.linalg.cholesky(
@@ -110,7 +118,37 @@ class DenseOracle:
 
     # --- covariance / per-block factors -------------------------------
     def _cov(self, theta):
-        return theta[0] * np.exp(-theta[3] * self.D)
+        if self.q == 1:
+            return theta[0] * np.exp(-theta[3] * self.D)
+        # AG10 eq.(7), q == 2 (n_cbase = 1): same-margin entries (latent
+        # distance v = 0) get ai1^2 C(h,0) + ai2^2 exp(-phi_i h); cross
+        # entries ai1_i ai1_j C(h, v) with C(h, v) =
+        # exp(-c h / sqrt(v+1)) / (v+1)   (covariance_functions.cpp:113-135,
+        # 236-283 semantics, vectorized independently here)
+        q = self.q
+        ai1, ai2 = theta[0:q], theta[q:2 * q]
+        phi_i = theta[2 * q:3 * q]
+        c = theta[3 * q]
+        Dmat = np.zeros((q, q))
+        ix = 3 * q + 1
+        for j in range(q):
+            for i in range(j + 1, q):
+                Dmat[i, j] = Dmat[j, i] = theta[ix]
+                ix += 1
+        mvi, mvj = self.mv[:, None], self.mv[None, :]
+        v = Dmat[mvi, mvj]
+        base = np.exp(-c * self.D / np.sqrt(v + 1.0)) / (v + 1.0)
+        A1 = ai1[self.mv]
+        cross = A1[:, None] * A1[None, :] * base
+        # phi_i/ai2 are evaluated at mv1 only; on v == 0 entries mv_i == mv_j
+        own = (ai2[self.mv] ** 2)[:, None] * np.exp(
+            -phi_i[self.mv][:, None] * self.D
+        )
+        return np.where(v == 0, cross + own, cross)
+
+    def _ti(self, rows):
+        """Per-row noise precision tau^-2_{mv(i)}, zero at missing rows."""
+        return self.tausq_inv[self.mv[rows]] * self.obs[rows]
 
     def _factor_cache(self, theta):
         """Per observed block: H (S,P), prior precision pieces; None on
@@ -179,12 +217,11 @@ class DenseOracle:
             H, Rinv, r, _ = self.cache[u]
             S = len(rows)
             Qprior = Rinv if is_ref else np.diag(1.0 / r)
-            Q = Qprior + np.diag(self.tausq_inv * self.obs[rows])
+            ti = self._ti(rows)
+            Q = Qprior + np.diag(ti)
             b = (Qprior @ (H @ self.w[anc]) if anc.size
                  else np.zeros(S))
-            b = b + self.tausq_inv * self.obs[rows] * (
-                self.y0[rows] - self.XB[rows]
-            )
+            b = b + ti * (self.y0[rows] - self.XB[rows])
             for Sig_m, v_m in msgs[u]:
                 Q += Sig_m
                 b += v_m
@@ -259,19 +296,29 @@ class DenseOracle:
                 self.rng.standard_normal(len(rows))
 
     def gibbs_tausq(self):
-        resid = (self.y0 - self.XB - self.w)[self.obs]
-        a = self.tausq_ab[0] + self.obs.sum() / 2.0
-        rate = self.tausq_ab[1] + 0.5 * resid @ resid
-        self.tausq_inv = self.rng.gamma(a, 1.0 / rate)
+        # per outcome j (reference: gibbs_sample_tausq loops margins,
+        # spamtree_model.cpp:1393-1417)
+        resid_all = self.y0 - self.XB - self.w
+        for j in range(self.q):
+            m = self.obs & (self.mv == j)
+            resid = resid_all[m]
+            a = self.tausq_ab[0] + m.sum() / 2.0
+            rate = self.tausq_ab[1] + 0.5 * resid @ resid
+            self.tausq_inv[j] = self.rng.gamma(a, 1.0 / rate)
 
     def gibbs_beta(self):
-        Xo = self.X[self.obs]
-        Si = self.tausq_inv * Xo.T @ Xo + self.beta_Vi
-        L = np.linalg.cholesky(0.5 * (Si + Si.T))
-        rhs = self.tausq_inv * Xo.T @ (self.y0 - self.w)[self.obs]
-        mu = np.linalg.solve(L.T, np.linalg.solve(L, rhs))
-        self.beta = mu + np.linalg.solve(L.T, self.rng.standard_normal(self.p))
-        self.XB = self.X @ self.beta
+        # per outcome j (reference: gibbs_sample_beta, .cpp:1360-1391)
+        for j in range(self.q):
+            m = self.obs & (self.mv == j)
+            Xo = self.X[m]
+            Si = self.tausq_inv[j] * Xo.T @ Xo + self.beta_Vi
+            L = np.linalg.cholesky(0.5 * (Si + Si.T))
+            rhs = self.tausq_inv[j] * Xo.T @ (self.y0 - self.w)[m]
+            mu = np.linalg.solve(L.T, np.linalg.solve(L, rhs))
+            self.beta[:, j] = mu + np.linalg.solve(
+                L.T, self.rng.standard_normal(self.p)
+            )
+        self.XB = np.sum(self.X * self.beta[:, self.mv].T, axis=1)
 
     def run(self, keep, burn, thin=1, adapting=True):
         out = {"w": [], "yhat": [], "beta": [], "tausq": [], "theta": []}
@@ -289,7 +336,7 @@ class DenseOracle:
                 out["yhat"].append(
                     self.XB + self.w
                     + self.rng.standard_normal(self.n)
-                    / np.sqrt(self.tausq_inv)
+                    / np.sqrt(self.tausq_inv[self.mv])
                 )
                 out["beta"].append(self.beta.copy())
                 out["tausq"].append(1.0 / self.tausq_inv)

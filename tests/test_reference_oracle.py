@@ -88,12 +88,12 @@ def test_posterior_parity_vs_dense_oracle():
     # --- beta and tausq: means within 5 combined batch-mean SEs
     for j in range(2):
         a = out["beta_mcmc"][j, :, 0]
-        b = oc["beta"][:, j]
+        b = oc["beta"][:, j, 0]
         se = np.hypot(_batch_se(a), _batch_se(b))
         assert abs(a.mean() - b.mean()) < 5 * se, (
             f"beta[{j}]: {a.mean():.4f} vs {b.mean():.4f}, se={se:.4f}"
         )
-    a, b = out["tausq_mcmc"][0], oc["tausq"]
+    a, b = out["tausq_mcmc"][0], oc["tausq"][:, 0]
     se = np.hypot(_batch_se(a), _batch_se(b))
     assert abs(a.mean() - b.mean()) < 5 * se, (a.mean(), b.mean(), se)
 
@@ -124,3 +124,115 @@ def test_posterior_parity_vs_dense_oracle():
     # and both beat the no-model baseline by a wide margin
     sd_y = float(np.std(y_full[miss]))
     assert rmspe_a < 0.7 * sd_y and rmspe_b < 0.7 * sd_y
+
+
+def test_posterior_parity_vs_dense_oracle_bivariate():
+    """The multivariate path against the same dense reference-semantics
+    oracle: misaligned bivariate AG10 data (margins observed at different
+    locations, the vignette setting), per-outcome beta/tausq conjugates,
+    8-dim theta (ai1, ai2, phi_i, c, latent D) through the RAM-MH step.
+    The oracle's vectorized AG10 covariance is first cross-checked against
+    the per-pair np_ag10 implementation written independently from the
+    formulas (test_covariance.py)."""
+    from test_covariance import np_ag10
+
+    rng = np.random.default_rng(11)
+    n0, n1 = 130, 110
+    coords = np.vstack([rng.uniform(size=(n0, 2)), rng.uniform(size=(n1, 2))])
+    mv = np.concatenate([np.zeros(n0, np.int64), np.ones(n1, np.int64)])
+    n = n0 + n1
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    coords, mv = coords[order], mv[order]
+
+    # truth: AG10 eq.(7) with the reference's theta layout for q=2
+    ai1, ai2 = np.array([1.2, 0.9]), np.array([0.4, 0.5])
+    phi_i, c, d = np.array([4.0, 6.0]), 5.0, 1.0
+    th_true = np.concatenate([ai1, ai2, phi_i, [c], [d]])
+    Dmat = np.array([[0.0, d], [d, 0.0]])
+    CC = np_ag10(coords, mv, coords, mv, ai1, ai2, phi_i, np.array([c]),
+                 Dmat)
+    w_true = np.linalg.cholesky(CC + 1e-9 * np.eye(n)) @ rng.normal(size=n)
+    beta_true = np.array([[1.0, -0.4], [-0.5, 0.8]])  # (p, q)
+    X = rng.normal(size=(n, 2))
+    tausq = np.array([0.09, 0.16])
+    y_full = (np.sum(X * beta_true[:, mv].T, axis=1) + w_true
+              + np.sqrt(tausq[mv]) * rng.normal(size=n))
+    y = y_full.copy()
+    miss = np.zeros(n, dtype=bool)
+    miss[rng.choice(n, size=24, replace=False)] = True
+    y[miss] = np.nan
+
+    seed = 5
+    keep, burn = 1200, 600
+    btmlim, toplim = 1e-3, 30.0
+    # reference bounds layout for q=2 (R/spamtree_fit.R:84-157): all
+    # [btmlim, toplim], ai1[1] lower bound -toplim, latent D upper
+    # vlim - btmlim
+    bounds = np.zeros((8, 2))
+    bounds[:, 0] = btmlim
+    bounds[:, 1] = toplim
+    bounds[1, 0] = -toplim
+    bounds[7, 1] = toplim - btmlim
+    th0 = np.clip(np.ones(8), bounds[:, 0] + 1e-6, bounds[:, 1] - 1e-6)
+    from spamtree_tpu.model.params import make_theta_spec
+    ts = make_theta_spec(2, 2, btmlim=btmlim, toplim=toplim)
+    np.testing.assert_allclose(ts.bounds, bounds)
+
+    tree = make_tree(
+        coords, np.isfinite(y), mv,
+        axis_cell_size=int(round(25 ** 0.5)), K=2,
+        rng=np.random.default_rng(seed),
+    )
+    oracle = DenseOracle(
+        tree, coords, y, X, bounds, th0, start_tausq=0.1,
+        beta_Vi=0.01, tausq_ab=(2.01, 1.0), mcmcsd=0.02, seed=seed,
+        mv_id=mv, q=2,
+    )
+    # vectorized oracle covariance == independent per-pair implementation
+    np.testing.assert_allclose(oracle._cov(th_true), CC, rtol=1e-12,
+                               atol=1e-14)
+    oc = oracle.run(keep=keep, burn=burn)
+    assert 0.05 < oracle.accept_count / oracle.propos_count < 0.7
+
+    out = spamtree(
+        y, X, coords, mv_id=mv, cell_size=25,
+        mcmc=dict(keep=keep, burn=burn, thin=1),
+        prior=dict(btmlim=btmlim, toplim=toplim, tausq=(2.01, 1.0),
+                   beta=0.01),
+        starting=dict(theta=th0, tausq=0.1),
+        settings=dict(mcmcsd=0.02, curvature_sd=False),
+        dtype=jnp.float64, seed=seed,
+    )
+    assert np.array_equal(out["order"], np.arange(n))
+    assert 0.05 < out["accept_ratio"] < 0.7
+
+    # --- per-outcome beta and tausq means within 5 combined batch SEs
+    for j in range(2):
+        for k in range(2):
+            a = out["beta_mcmc"][k, :, j]
+            b = oc["beta"][:, k, j]
+            se = np.hypot(_batch_se(a), _batch_se(b))
+            assert abs(a.mean() - b.mean()) < 5 * se, (
+                f"beta[{k},{j}]: {a.mean():.4f} vs {b.mean():.4f}, "
+                f"se={se:.4f}"
+            )
+        a, b = out["tausq_mcmc"][j], oc["tausq"][:, j]
+        se = np.hypot(_batch_se(a), _batch_se(b))
+        assert abs(a.mean() - b.mean()) < 5 * se, (j, a.mean(), b.mean(), se)
+
+    # --- latent field parity
+    w_a = out["w_mcmc"].mean(axis=0)
+    w_b = oc["w"].mean(axis=0)
+    sd_b = oc["w"].std(axis=0)
+    z = np.abs(w_a - w_b) / np.maximum(sd_b, 1e-3)
+    assert z.mean() < 0.35, z.mean()
+    assert np.corrcoef(w_a, w_b)[0, 1] > 0.99
+
+    # --- RMSPE parity at held-out rows
+    yhat_a = out["yhat_mcmc"].mean(axis=0)
+    yhat_b = oc["yhat"].mean(axis=0)
+    rmspe_a = float(np.sqrt(np.mean((yhat_a[miss] - y_full[miss]) ** 2)))
+    rmspe_b = float(np.sqrt(np.mean((yhat_b[miss] - y_full[miss]) ** 2)))
+    assert abs(rmspe_a - rmspe_b) / rmspe_b < 0.10, (rmspe_a, rmspe_b)
+    sd_y = float(np.std(y_full[miss]))
+    assert rmspe_a < 0.8 * sd_y and rmspe_b < 0.8 * sd_y
