@@ -38,6 +38,12 @@ def main(n_per_q=50000, cell_size=25):
 
     for name, cfg in (
         ("full step       ", MCMCConfig()),
+        # pinned MH decisions split the theta-block residual: forced-reject
+        # times sweep + cond forward path; forced-accept times sweep + swap
+        # + on-accept msg-Gram/prediction rebuilds.  full ~ w-Gibbs blocks
+        # + sweep + p*accept_cost + (1-p)*reject_cost
+        ("forced-reject   ", MCMCConfig(force_accept=0)),
+        ("forced-accept   ", MCMCConfig(force_accept=1)),
         ("no-theta step   ", MCMCConfig(sample_theta=False)),
         ("w-only step     ", MCMCConfig(sample_theta=False, sample_beta=False,
                                         sample_tausq=False,

@@ -95,6 +95,10 @@ class MCMCConfig(NamedTuple):
     # model/priors.py).  None = flat, the reference's effective behavior (it
     # computes calc_prior_logratio but never adds it; spamtree_fit.cpp:239-246)
     theta_prior: object = None
+    # MEASUREMENT ONLY: None = real MH decision; 0/1 pins the theta accept
+    # branch (still gated by the Cholesky ok flag) so the accept-cond's two
+    # paths can be timed separately (examples/bisect_step_blocks.py)
+    force_accept: object = None
 
 
 def init_state(
@@ -294,6 +298,8 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             acceptp = jnp.where(finite, jnp.exp(jnp.minimum(logaccept, 0.0)), 0.0)
             u = jax.random.uniform(ku, dtype=ms.dtype)
             accepted = (u < acceptp) & ok
+            if cfg.force_accept is not None:  # measurement-only pin
+                accepted = jnp.asarray(bool(cfg.force_accept)) & ok
             theta = jnp.where(accepted, prop, theta)
             logdetCi = jnp.where(accepted, new_logdet, logdetCi)
             # The factor swap and the derived-from-factors state (prediction
