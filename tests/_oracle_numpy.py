@@ -120,24 +120,32 @@ class DenseOracle:
     def _cov(self, theta):
         if self.q == 1:
             return theta[0] * np.exp(-theta[3] * self.D)
-        # AG10 eq.(7), q == 2 (n_cbase = 1): same-margin entries (latent
-        # distance v = 0) get ai1^2 C(h,0) + ai2^2 exp(-phi_i h); cross
-        # entries ai1_i ai1_j C(h, v) with C(h, v) =
-        # exp(-c h / sqrt(v+1)) / (v+1)   (covariance_functions.cpp:113-135,
+        # AG10 eq.(7): same-margin entries (latent distance v = 0) get
+        # ai1^2 C(h,0) + ai2^2 exp(-phi_i h); cross entries
+        # ai1_i ai1_j C(h, v).  The base C(h, v) is
+        # exp(-c h / sqrt(v+1)) / (v+1) for q == 2 (n_cbase = 1) and the
+        # psi-scaled form exp(-c h / psi) / psi^2, psi = (1 + a v)^(b/2),
+        # for q > 2 (n_cbase = 3)   (covariance_functions.cpp:113-135,
         # 236-283 semantics, vectorized independently here)
         q = self.q
+        n_cbase = 3 if q > 2 else 1
         ai1, ai2 = theta[0:q], theta[q:2 * q]
         phi_i = theta[2 * q:3 * q]
-        c = theta[3 * q]
         Dmat = np.zeros((q, q))
-        ix = 3 * q + 1
+        ix = 3 * q + n_cbase
         for j in range(q):
             for i in range(j + 1, q):
                 Dmat[i, j] = Dmat[j, i] = theta[ix]
                 ix += 1
         mvi, mvj = self.mv[:, None], self.mv[None, :]
         v = Dmat[mvi, mvj]
-        base = np.exp(-c * self.D / np.sqrt(v + 1.0)) / (v + 1.0)
+        if q > 2:
+            a, b, c = theta[3 * q:3 * q + 3]
+            psi = np.exp(0.5 * b * np.log1p(a * v))
+            base = np.exp(-c * self.D / psi) / psi**2
+        else:
+            c = theta[3 * q]
+            base = np.exp(-c * self.D / np.sqrt(v + 1.0)) / (v + 1.0)
         A1 = ai1[self.mv]
         cross = A1[:, None] * A1[None, :] * base
         # phi_i/ai2 are evaluated at mv1 only; on v == 0 entries mv_i == mv_j
@@ -320,13 +328,14 @@ class DenseOracle:
             )
         self.XB = np.sum(self.X * self.beta[:, self.mv].T, axis=1)
 
-    def run(self, keep, burn, thin=1, adapting=True):
+    def run(self, keep, burn, thin=1, adapting=True, sample_theta=True):
         out = {"w": [], "yhat": [], "beta": [], "tausq": [], "theta": []}
         total = burn + keep * thin
         for m in range(total):
             kept = m >= burn and (m - burn) % thin == 0
             self.gibbs_w()
-            self.theta_mh(adapting, m)
+            if sample_theta:
+                self.theta_mh(adapting, m)
             if kept:
                 self.predict()
             self.gibbs_tausq()

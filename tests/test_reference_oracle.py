@@ -236,3 +236,104 @@ def test_posterior_parity_vs_dense_oracle_bivariate():
     assert abs(rmspe_a - rmspe_b) / rmspe_b < 0.10, (rmspe_a, rmspe_b)
     sd_y = float(np.std(y_full[miss]))
     assert rmspe_a < 0.8 * sd_y and rmspe_b < 0.8 * sd_y
+
+
+def test_posterior_parity_q3_fixed_theta():
+    """q = 3 engages the other covariance branch (n_cbase = 3: psi-scaled
+    Gneiting base with thetamv = (a, b, c)) and a 3-outcome conjugate
+    cycle.  theta is FIXED at the truth in both samplers (debug
+    sample_theta=False; 15-dim RAM mixing would dominate the MC error), so
+    this pins the q = 3 likelihood factors, w-Gibbs, prediction, and
+    per-outcome beta/tausq against the dense oracle exactly at the same
+    covariance."""
+    from test_covariance import np_ag10
+
+    rng = np.random.default_rng(7)
+    counts = (110, 80, 60)
+    coords = np.vstack([rng.uniform(size=(c, 2)) for c in counts])
+    mv = np.concatenate([np.full(c, j, np.int64)
+                         for j, c in enumerate(counts)])
+    n = len(mv)
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    coords, mv = coords[order], mv[order]
+
+    q = 3
+    ai1 = np.array([1.1, 0.9, 1.3])
+    ai2 = np.array([0.4, 0.3, 0.5])
+    phi_i = np.array([4.0, 6.0, 5.0])
+    thetamv = np.array([0.8, 0.6, 5.0])  # (a, b in (0,1), c)
+    dvec = np.array([0.8, 1.2, 0.6])  # D lower-tri column-major
+    th_true = np.concatenate([ai1, ai2, phi_i, thetamv, dvec])
+    Dmat = np.zeros((q, q))
+    Dmat[1, 0] = Dmat[0, 1] = dvec[0]
+    Dmat[2, 0] = Dmat[0, 2] = dvec[1]
+    Dmat[2, 1] = Dmat[1, 2] = dvec[2]
+    CC = np_ag10(coords, mv, coords, mv, ai1, ai2, phi_i, thetamv, Dmat)
+    w_true = np.linalg.cholesky(CC + 1e-9 * np.eye(n)) @ rng.normal(size=n)
+    beta_true = np.array([[1.0, -0.4, 0.6], [-0.5, 0.8, -0.2]])
+    X = rng.normal(size=(n, 2))
+    tausq = np.array([0.09, 0.16, 0.04])
+    y_full = (np.sum(X * beta_true[:, mv].T, axis=1) + w_true
+              + np.sqrt(tausq[mv]) * rng.normal(size=n))
+    y = y_full.copy()
+    miss = np.zeros(n, dtype=bool)
+    miss[rng.choice(n, size=25, replace=False)] = True
+    y[miss] = np.nan
+
+    seed = 9
+    keep, burn = 1000, 400
+    bounds = np.zeros((15, 2))  # box only used for clipping; theta fixed
+    bounds[:, 0] = 1e-3
+    bounds[:, 1] = 30.0
+    bounds[1:q, 0] = -30.0
+    bounds[10, :] = (1e-3, 1.0 - 1e-3)  # b = beta_psi1 in (0, 1)
+
+    tree = make_tree(
+        coords, np.isfinite(y), mv,
+        axis_cell_size=int(round(25 ** 0.5)), K=2,
+        rng=np.random.default_rng(seed),
+    )
+    oracle = DenseOracle(
+        tree, coords, y, X, bounds, th_true, start_tausq=0.1,
+        beta_Vi=0.01, tausq_ab=(2.01, 1.0), mcmcsd=0.02, seed=seed,
+        mv_id=mv, q=q,
+    )
+    np.testing.assert_allclose(oracle._cov(th_true), CC, rtol=1e-12,
+                               atol=1e-14)
+    oc = oracle.run(keep=keep, burn=burn, sample_theta=False)
+
+    out = spamtree(
+        y, X, coords, mv_id=mv, cell_size=25,
+        mcmc=dict(keep=keep, burn=burn, thin=1),
+        prior=dict(set_unif_bounds=bounds, tausq=(2.01, 1.0), beta=0.01),
+        starting=dict(theta=th_true, tausq=0.1),
+        debug=dict(sample_theta=False),
+        dtype=jnp.float64, seed=seed,
+    )
+    assert np.array_equal(out["order"], np.arange(n))
+
+    for j in range(q):
+        for k in range(2):
+            a = out["beta_mcmc"][k, :, j]
+            b = oc["beta"][:, k, j]
+            se = np.hypot(_batch_se(a), _batch_se(b))
+            assert abs(a.mean() - b.mean()) < 5 * se, (
+                f"beta[{k},{j}]: {a.mean():.4f} vs {b.mean():.4f}, "
+                f"se={se:.4f}"
+            )
+        a, b = out["tausq_mcmc"][j], oc["tausq"][:, j]
+        se = np.hypot(_batch_se(a), _batch_se(b))
+        assert abs(a.mean() - b.mean()) < 5 * se, (j, a.mean(), b.mean(), se)
+
+    w_a = out["w_mcmc"].mean(axis=0)
+    w_b = oc["w"].mean(axis=0)
+    sd_b = oc["w"].std(axis=0)
+    z = np.abs(w_a - w_b) / np.maximum(sd_b, 1e-3)
+    assert z.mean() < 0.35, z.mean()
+    assert np.corrcoef(w_a, w_b)[0, 1] > 0.99
+
+    yhat_a = out["yhat_mcmc"].mean(axis=0)
+    yhat_b = oc["yhat"].mean(axis=0)
+    rmspe_a = float(np.sqrt(np.mean((yhat_a[miss] - y_full[miss]) ** 2)))
+    rmspe_b = float(np.sqrt(np.mean((yhat_b[miss] - y_full[miss]) ** 2)))
+    assert abs(rmspe_a - rmspe_b) / rmspe_b < 0.10, (rmspe_a, rmspe_b)
