@@ -337,3 +337,78 @@ def test_posterior_parity_q3_fixed_theta():
     rmspe_a = float(np.sqrt(np.mean((yhat_a[miss] - y_full[miss]) ** 2)))
     rmspe_b = float(np.sqrt(np.mean((yhat_b[miss] - y_full[miss]) ** 2)))
     assert abs(rmspe_a - rmspe_b) / rmspe_b < 0.10, (rmspe_a, rmspe_b)
+
+
+def test_posterior_parity_limited_tree():
+    """limited_tree=True (single nearest-reference-ancestor parents, the
+    reference's make_edges_limited mode and the intended big-n
+    configuration) through the same chain-level oracle gate: the oracle
+    reads tree.parents directly, so the only thing shared with the JAX
+    sampler is the tree itself."""
+    rng = np.random.default_rng(21)
+    n = 240
+    coords = rng.uniform(size=(n, 2))
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    coords = coords[order]
+    sigma2, phi, tausq = 1.5, 5.0, 0.1
+    D = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+    CC = sigma2 * np.exp(-phi * D)
+    w_true = np.linalg.cholesky(CC + 1e-10 * np.eye(n)) @ rng.normal(size=n)
+    beta_true = np.array([1.0, -0.5])
+    X = rng.normal(size=(n, 2))
+    y_full = X @ beta_true + w_true + np.sqrt(tausq) * rng.normal(size=n)
+    y = y_full.copy()
+    miss = np.zeros(n, dtype=bool)
+    miss[rng.choice(n, size=24, replace=False)] = True
+    y[miss] = np.nan
+
+    seed = 13
+    keep, burn = 1200, 600
+    th0 = np.array([1.0, 1.0, 1.0, 4.0])
+    bounds = np.zeros((4, 2))
+    bounds[:, 0] = 1e-3
+    bounds[:, 1] = 30.0
+
+    tree = make_tree(
+        coords, np.isfinite(y), np.zeros(n, dtype=np.int64),
+        axis_cell_size=int(round(25 ** 0.5)), K=2,
+        rng=np.random.default_rng(seed), limited_tree=True,
+    )
+    assert all(len(p) <= 1 for p in tree.parents)
+    oracle = DenseOracle(
+        tree, coords, y, X, bounds, th0, start_tausq=0.1,
+        beta_Vi=0.01, tausq_ab=(2.01, 1.0), mcmcsd=0.05, seed=seed,
+    )
+    oc = oracle.run(keep=keep, burn=burn)
+    assert 0.05 < oracle.accept_count / oracle.propos_count < 0.7
+
+    out = spamtree(
+        y, X, coords, cell_size=25, limited_tree=True,
+        mcmc=dict(keep=keep, burn=burn, thin=1),
+        prior=dict(toplim=30.0, tausq=(2.01, 1.0), beta=0.01),
+        starting=dict(theta=th0, tausq=0.1),
+        dtype=jnp.float64, seed=seed,
+    )
+    assert np.array_equal(out["order"], np.arange(n))
+    assert 0.05 < out["accept_ratio"] < 0.7
+
+    for j in range(2):
+        a = out["beta_mcmc"][j, :, 0]
+        b = oc["beta"][:, j, 0]
+        se = np.hypot(_batch_se(a), _batch_se(b))
+        assert abs(a.mean() - b.mean()) < 5 * se, (j, a.mean(), b.mean(), se)
+    a, b = out["tausq_mcmc"][0], oc["tausq"][:, 0]
+    se = np.hypot(_batch_se(a), _batch_se(b))
+    assert abs(a.mean() - b.mean()) < 5 * se, (a.mean(), b.mean(), se)
+
+    w_a = out["w_mcmc"].mean(axis=0)
+    w_b = oc["w"].mean(axis=0)
+    z = np.abs(w_a - w_b) / np.maximum(oc["w"].std(axis=0), 1e-3)
+    assert z.mean() < 0.35, z.mean()
+    assert np.corrcoef(w_a, w_b)[0, 1] > 0.99
+
+    yhat_a = out["yhat_mcmc"].mean(axis=0)
+    yhat_b = oc["yhat"].mean(axis=0)
+    rmspe_a = float(np.sqrt(np.mean((yhat_a[miss] - y_full[miss]) ** 2)))
+    rmspe_b = float(np.sqrt(np.mean((yhat_b[miss] - y_full[miss]) ** 2)))
+    assert abs(rmspe_a - rmspe_b) / rmspe_b < 0.10, (rmspe_a, rmspe_b)
