@@ -384,3 +384,16 @@ def test_tuner_overlap_thread():
     assert "tuner_join_wait_s" in tb and "cpu_tuner_s" in tb
     assert np.isfinite(res["w_mcmc"]).all()
     assert 0.05 < res["accept_ratio"] < 0.95
+
+    # the hook also patches STACKED chain states on a device mesh (the
+    # broadcast over the chain lead axis + sharding-preserving device_put)
+    import jax
+
+    res2 = spamtree(y, X, coords, cell_size=16, K=2,
+                    mcmc=dict(keep=20, burn=20), seed=2, n_chains=2,
+                    devices=jax.devices(),
+                    settings=dict(tuner_overlap=True))
+    assert "tuner_join_wait_s" in res2["setup_breakdown"]
+    assert res2["w_mcmc"].shape[1] == 2
+    assert np.isfinite(res2["w_mcmc"]).all()
+    assert not np.allclose(res2["w_mcmc"][:, 0], res2["w_mcmc"][:, 1])
