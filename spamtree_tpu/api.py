@@ -171,6 +171,17 @@ def spamtree(
     paramsd, mcmc_time, accept_ratio, coordsinfo and the order mapping
     (outputs are in sorted-row order; out["order"][i] is the original row).
     """
+    if jnp.dtype(dtype) == np.float64:
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            # without x64, every jnp.zeros/asarray silently truncates to
+            # float32 and the "float64" run is quietly single precision
+            raise ValueError(
+                "dtype=float64 requires the x64 mode: set "
+                "jax.config.update('jax_enable_x64', True) (or the "
+                "JAX_ENABLE_X64 env var) before calling spamtree()"
+            )
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     x = np.asarray(x, dtype=np.float64)
     if x.ndim == 1:

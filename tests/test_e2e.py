@@ -397,3 +397,45 @@ def test_tuner_overlap_thread():
     assert res2["w_mcmc"].shape[1] == 2
     assert np.isfinite(res2["w_mcmc"]).all()
     assert not np.allclose(res2["w_mcmc"][:, 0], res2["w_mcmc"][:, 1])
+
+
+def test_tiny_n_degenerate_sizes():
+    """Very small n through the full API: single-block trees, blocks smaller
+    than cell_size, near-empty levels -- the padding/edge geometry must
+    produce finite mixing chains."""
+    rng = np.random.default_rng(0)
+    for n, cell in [(30, 25), (12, 4)]:
+        coords = rng.uniform(size=(n, 2))
+        X = rng.normal(size=(n, 1))
+        y = X[:, 0] + rng.normal(size=n) * 0.3
+        y[rng.uniform(size=n) < 0.15] = np.nan
+        r = spamtree(y, X, coords, cell_size=cell, K=2,
+                     mcmc=dict(keep=8, burn=4), dtype=jnp.float64, seed=1)
+        assert r["w_mcmc"].shape == (8, n)
+        assert np.isfinite(r["w_mcmc"]).all()
+        assert np.isfinite(r["yhat_mcmc"]).all()
+
+
+def test_float64_requires_x64_mode():
+    """dtype=float64 without jax_enable_x64 must raise instead of silently
+    truncating every array to float32 (checked in a subprocess: the suite
+    itself runs with x64 on)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from spamtree_tpu import spamtree\n"
+        "try:\n"
+        "    spamtree(np.ones(8), np.ones((8,1)),"
+        " np.random.default_rng(0).uniform(size=(8,2)),"
+        " mcmc=dict(keep=2,burn=1), dtype=jnp.float64)\n"
+        "except ValueError as e:\n"
+        "    assert 'x64' in str(e); print('GUARD_OK')\n"
+    )
+    env = {k: v for k, v in __import__('os').environ.items()
+           if k != "JAX_ENABLE_X64"}
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300, cwd="/root/repo", env=env)
+    assert "GUARD_OK" in out.stdout, (out.stdout, out.stderr[-500:])
