@@ -29,6 +29,10 @@ extern "C" {
 
 // ---- quantile thresholds: sorted(x)[i*n/k], i=1..k-1 (nth_element, O(n*k)) --
 void st_kthresholds(const double* x, int64_t n, int64_t k, double* out) {
+  if (n <= 0) {  // empty pool: no order statistics exist
+    for (int64_t i = 1; i < k; i++) out[i - 1] = 0.0;
+    return;
+  }
   std::vector<double> buf(x, x + n);
   if (k - 1 >= 16) {
     // many cut points: one O(n log n) sort beats k O(n) selections (the

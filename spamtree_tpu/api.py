@@ -334,6 +334,7 @@ def spamtree(
     tb["lazy_init"] = bool(lazy)
     precomputed = None
     tuner_join = None
+    tuner_thread = None
     if resume_from is not None:
         pass  # load_state below rebuilds the factors with one sweep
     elif lazy:
@@ -355,15 +356,18 @@ def spamtree(
             # while on remote-compile backends the host sits idle.
             import jax
 
-            overlap = settings["tuner_overlap"]
-            if overlap is None:
-                overlap = jax.default_backend() != "cpu"
-            if not overlap:
-                settings["mcmcsd"] = subsample_curvature_sd(
+            def _run_tuner():
+                return subsample_curvature_sd(
                     cs, mvs, ys, xs, tspec.spec, tspec.bounds, tspec.start,
                     axis_cell_size=axis_size, K=K, start_tausq=start_tausq,
                     seed=seed, timings=tb,
                 )
+
+            overlap = settings["tuner_overlap"]
+            if overlap is None:
+                overlap = jax.default_backend() != "cpu"
+            if not overlap:
+                settings["mcmcsd"] = _run_tuner()
         if do_curv and settings["mcmcsd"] is None:
             import threading
 
@@ -371,20 +375,17 @@ def spamtree(
 
             def _tune():
                 try:
-                    _box["sd"] = subsample_curvature_sd(
-                        cs, mvs, ys, xs, tspec.spec, tspec.bounds,
-                        tspec.start, axis_cell_size=axis_size, K=K,
-                        start_tausq=start_tausq, seed=seed, timings=tb,
-                    )
+                    _box["sd"] = _run_tuner()
                 except BaseException as e:  # re-raised at the join
                     _box["err"] = e
 
-            _thr = threading.Thread(target=_tune, name="spamtree-tuner",
-                                    daemon=True)
-            _thr.start()
+            tuner_thread = threading.Thread(target=_tune,
+                                            name="spamtree-tuner",
+                                            daemon=True)
+            tuner_thread.start()
 
             def tuner_join():
-                _thr.join()
+                tuner_thread.join()
                 if "err" in _box:
                     raise _box["err"]
                 return _box["sd"]
@@ -510,34 +511,47 @@ def spamtree(
                       f"{np.array2string(d, precision=4)}")
             return st._replace(ram=ram_set_proposal(st.ram, sd))
 
-    t_ = time.time()
-    if n_chains > 1:
-        from spamtree_tpu.model.mcmc import run_mcmc_chains, stack_chain_states
+    try:
+        t_ = time.time()
+        if n_chains > 1:
+            from spamtree_tpu.model.mcmc import (
+                run_mcmc_chains,
+                stack_chain_states,
+            )
 
-        # chains differ only in their RNG stream: build one state, then
-        # broadcast + per-chain keys in a single compiled program
-        states = state0 if state0 is not None else stack_chain_states(
-            _mk_state(seed), seed + np.arange(n_chains)
-        )
-        _force(states)
-        tb["init_state_s"] = round(time.time() - t_, 2)
-        res = run_mcmc_chains(ms, tspec.bounds, cfg, states, verbose=verbose,
-                              precompile=precompile,
-                              checkpoint_path=checkpoint_path,
-                              sink_dir=sink_dir,
-                              sink_append=resume_from is not None,
-                              const_model=settings["const_model"],
-                              mesh=mesh, pre_burn_hook=pre_burn_hook)
-    else:
-        state = state0 if state0 is not None else _mk_state(seed)
-        _force(state)
-        tb["init_state_s"] = round(time.time() - t_, 2)
-        res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
-                       precompile=precompile, checkpoint_path=checkpoint_path,
-                       sink_dir=sink_dir,
-                       sink_append=resume_from is not None,
-                       const_model=settings["const_model"],
-                       mesh=mesh, pre_burn_hook=pre_burn_hook)
+            # chains differ only in their RNG stream: build one state, then
+            # broadcast + per-chain keys in a single compiled program
+            states = state0 if state0 is not None else stack_chain_states(
+                _mk_state(seed), seed + np.arange(n_chains)
+            )
+            _force(states)
+            tb["init_state_s"] = round(time.time() - t_, 2)
+            res = run_mcmc_chains(ms, tspec.bounds, cfg, states,
+                                  verbose=verbose,
+                                  precompile=precompile,
+                                  checkpoint_path=checkpoint_path,
+                                  sink_dir=sink_dir,
+                                  sink_append=resume_from is not None,
+                                  const_model=settings["const_model"],
+                                  mesh=mesh, pre_burn_hook=pre_burn_hook)
+        else:
+            state = state0 if state0 is not None else _mk_state(seed)
+            _force(state)
+            tb["init_state_s"] = round(time.time() - t_, 2)
+            res = run_mcmc(ms, tspec.bounds, cfg, state, verbose=verbose,
+                           precompile=precompile,
+                           checkpoint_path=checkpoint_path,
+                           sink_dir=sink_dir,
+                           sink_append=resume_from is not None,
+                           const_model=settings["const_model"],
+                           mesh=mesh, pre_burn_hook=pre_burn_hook)
+    finally:
+        if tuner_thread is not None:
+            # never orphan the tuner thread: if anything above raised (or
+            # the user interrupted) before the drivers reached the hook's
+            # join point, wait it out (bounded) so it cannot race
+            # interpreter teardown or keep burning CPU after the failure
+            tuner_thread.join(timeout=60.0)
     tb["keep_compile_s"] = res.get("compile_time_s", 0.0)
 
     out = {

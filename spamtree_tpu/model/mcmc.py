@@ -476,9 +476,12 @@ class _Reporter:
         """Tiny report fields as FRESH device buffers (the +0 escapes the
         carry's donation, so the snapshot stays valid across the next
         chunk's dispatch in pipelined mode) with async host copies; becomes
-        ready exactly when its chunk finishes."""
-        parts = (st.ram.accept_count + 0, st.ram.propos_count + 0,
-                 st.theta + 0, 1.0 / st.tausq_inv)
+        ready exactly when its chunk finishes.  theta/tausq are snapped
+        only when verbose >= 2 will print them -- each extra part is a
+        per-chunk device dispatch on the hot loop."""
+        parts = (st.ram.accept_count + 0, st.ram.propos_count + 0)
+        if self.verbose >= 2:
+            parts = parts + (st.theta + 0, 1.0 / st.tausq_inv)
         for a in parts:
             try:
                 a.copy_to_host_async()
@@ -498,7 +501,7 @@ class _Reporter:
         print(f"[{phase}] {hdr}, {now - self.t0:.2f}s, {ms_it:.1f}ms/iter, "
               f"accept {roll:.2%} (window) {acc / max(prop, 1.0):.2%} "
               f"(cumulative)")
-        if self.verbose >= 2:  # theta/tausq window report
+        if self.verbose >= 2 and len(snap) > 2:  # theta/tausq window report
             if self.C:
                 by = acc_c / np.maximum(prop_c, 1.0)
                 print(f"  accept by chain: "

@@ -49,7 +49,9 @@ def ram_set_proposal(ram: RAMState, cov) -> RAMState:
     import numpy as np
 
     cov = np.asarray(cov, dtype=np.float64)
-    if cov.ndim < 2:
+    if cov.ndim == 1:  # per-dimension variance vector
+        cov = np.diag(cov)
+    elif cov.ndim == 0:
         cov = np.eye(ram.paramsd.shape[-1]) * float(cov)
     pa = np.linalg.cholesky(cov).astype(ram.paramsd.dtype)
     pa = np.broadcast_to(pa, tuple(ram.paramsd.shape))

@@ -68,9 +68,11 @@ def have_native() -> bool:
 def kthresholds(x: np.ndarray, k: int) -> np.ndarray:
     lib = _load()
     x = np.ascontiguousarray(x, dtype=np.float64)
-    if lib is None or k <= 1:
-        if k <= 1:
-            return np.zeros(0)
+    if k <= 1:
+        return np.zeros(0)
+    if len(x) == 0:  # empty pool: no order statistics exist
+        return np.zeros(k - 1)
+    if lib is None:
         # multi-kth introselect: same order statistics as the native
         # nth_element kernel without a full sort
         pos = (np.arange(1, k) * len(x)) // k
