@@ -193,7 +193,19 @@ def main():
                          "larger amortizes per-chunk dispatch (~0.2 s each "
                          "through the relay), smaller tightens interrupt "
                          "granularity")
+    ap.add_argument("--backend", default=None, choices=["cpu"],
+                    help="run the SAME code on the XLA:CPU host backend -- "
+                         "the measured same-code hardware baseline "
+                         "(BENCH_RESULTS.md); default: the platform the "
+                         "environment provides (TPU here)")
     args = ap.parse_args()
+
+    if args.backend == "cpu":
+        import jax
+
+        # must run before any other backend touch; the sitecustomize pins
+        # the axon platform via env, so override through jax.config
+        jax.config.update("jax_platforms", "cpu")
 
     if args.n_per_q is not None:
         CONFIGS[3] = dict(
