@@ -453,11 +453,16 @@ def spamtree(
 
     resumed_it = kept_already = None
     state0 = None
+    init_moments = None
     if resume_from is not None:
-        from spamtree_tpu.utils.checkpoint import load_state
+        from spamtree_tpu.utils.checkpoint import load_moments, load_state
 
         t_ = time.time()
         state0 = load_state(resume_from, ms)
+        if settings["collect"] == "summary":
+            # continue the saved partial posterior sums: the draws they
+            # summarize were never stored anywhere else
+            init_moments = load_moments(resume_from, ms)
         tb["resume_load_s"] = round(time.time() - t_, 2)
         th = np.asarray(state0.theta)
         ck_chains = th.shape[0] if th.ndim == 2 else 1
@@ -533,7 +538,8 @@ def spamtree(
                                   sink_dir=sink_dir,
                                   sink_append=resume_from is not None,
                                   const_model=settings["const_model"],
-                                  mesh=mesh, pre_burn_hook=pre_burn_hook)
+                                  mesh=mesh, pre_burn_hook=pre_burn_hook,
+                                  init_moments=init_moments)
         else:
             state = state0 if state0 is not None else _mk_state(seed)
             _force(state)
@@ -544,7 +550,8 @@ def spamtree(
                            sink_dir=sink_dir,
                            sink_append=resume_from is not None,
                            const_model=settings["const_model"],
-                           mesh=mesh, pre_burn_hook=pre_burn_hook)
+                           mesh=mesh, pre_burn_hook=pre_burn_hook,
+                           init_moments=init_moments)
     finally:
         if tuner_thread is not None:
             # never orphan the tuner thread: if anything above raised (or

@@ -696,6 +696,7 @@ def run_mcmc(
     const_model: bool | None = None,
     mesh=None,
     pre_burn_hook=None,
+    init_moments=None,
 ):
     """Burn + chunked keep phases; returns dict of host-side sample arrays.
 
@@ -816,7 +817,10 @@ def run_mcmc(
             ck = replicated(mesh, ck)
         return ck
 
-    acc0 = _moments_zero(ms) if summary else ()
+    # resumed summary runs continue their saved partial sums (init_moments
+    # from checkpoint.load_moments); otherwise start at zero
+    acc0 = ((init_moments if init_moments is not None else _moments_zero(ms))
+            if summary else ())
     carry = (state, acc0)
 
     keep_compiled = None
@@ -858,7 +862,8 @@ def run_mcmc(
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
-            save_state(checkpoint_path, carry[0]._replace(key=key))
+            save_state(checkpoint_path, carry[0]._replace(key=key),
+                       moments=carry[1] if summary else None)
         if verbose:
             rep.report("burn", (bi + 1) * ipc, burn_actual,
                        rep.snap(carry[0]), (bi + 1) * ipc)
@@ -912,8 +917,9 @@ def run_mcmc(
             from spamtree_tpu.utils.checkpoint import save_state
 
             # checkpointing disables pipelining, so the live state IS the
-            # just-drained chunk's state here
-            save_state(checkpoint_path, state)
+            # just-drained chunk's state here (and carry[1] its moments)
+            save_state(checkpoint_path, state,
+                       moments=carry[1] if summary else None)
         if verbose:
             rep.report("keep", drained, cfg.keep, rep_snap,
                        burn_actual + drained * cfg.thin)
@@ -957,6 +963,7 @@ def run_mcmc_chains(
     sink_append: bool = False,
     const_model: bool | None = None,
     pre_burn_hook=None,
+    init_moments=None,
 ):
     """Run C independent chains in one program via vmap -- the multi-chain
     analog of ``run_mcmc`` with the same engineering: chunked burn (bounded
@@ -1070,7 +1077,9 @@ def run_mcmc_chains(
         it = ks[:, 1:].reshape(C, m, cfg.thin + 1, 2)
         return ks[:, 0], jnp.moveaxis(it, 0, 2)
 
-    acc0 = _moments_zero(ms, lead=(C,)) if summary else ()
+    # resumed summary runs continue their saved partial sums (see run_mcmc)
+    acc0 = ((init_moments if init_moments is not None
+             else _moments_zero(ms, lead=(C,))) if summary else ())
     if summary and mesh is not None:
         from spamtree_tpu.parallel.sharding import chain_sharded
 
@@ -1102,7 +1111,10 @@ def run_mcmc_chains(
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
-            save_state(checkpoint_path, states._replace(key=chainkeys))
+            # checkpointing disables pipelining, so carry[1] holds the
+            # moments matching the saved states in summary mode
+            save_state(checkpoint_path, states._replace(key=chainkeys),
+                       moments=carry[1] if summary else None)
 
     t0 = time.time()
     chainkeys = states.key

@@ -19,9 +19,24 @@ from spamtree_tpu.model.mcmc import MCMCState
 from spamtree_tpu.model.ram import RAMState
 
 
-def save_state(path: str, state: MCMCState) -> None:
+def save_state(path: str, state: MCMCState, moments=None) -> None:
+    """``moments`` (optional, summary-collection runs): the running
+    posterior-moment accumulators (mcmc.Moments) saved alongside the chain
+    state, so an interrupted ``collect="summary"`` run resumes its exact
+    partial sums instead of silently restarting them at zero (the drawn
+    samples they summarize are not retrievable any other way)."""
+    extra = {}
+    if moments is not None:
+        extra = dict(
+            mom_count=np.asarray(moments.count),
+            mom_w_sum=np.asarray(moments.w_sum),
+            mom_w_sq=np.asarray(moments.w_sq),
+            mom_yh_sum=np.asarray(moments.yh_sum),
+            mom_yh_sq=np.asarray(moments.yh_sq),
+        )
     np.savez(
         path,
+        **extra,
         key=np.asarray(state.key),
         w=np.asarray(state.w),
         beta=np.asarray(state.beta),
@@ -35,6 +50,24 @@ def save_state(path: str, state: MCMCState) -> None:
         ram_started=np.asarray(state.ram.started),
         ram_propos=np.asarray(state.ram.propos_count),
         ram_accept=np.asarray(state.ram.accept_count),
+    )
+
+
+def load_moments(path: str, ms: ModelStatic):
+    """Load the summary-mode moment accumulators saved by ``save_state``
+    (None when the checkpoint was not a summary-collection run)."""
+    from spamtree_tpu.model.mcmc import Moments
+
+    z = np.load(path)
+    if "mom_count" not in z.files:
+        return None
+    dt = ms.dtype
+    return Moments(
+        count=jnp.asarray(z["mom_count"], dtype=dt),
+        w_sum=jnp.asarray(z["mom_w_sum"], dtype=dt),
+        w_sq=jnp.asarray(z["mom_w_sq"], dtype=dt),
+        yh_sum=jnp.asarray(z["mom_yh_sum"], dtype=dt),
+        yh_sq=jnp.asarray(z["mom_yh_sq"], dtype=dt),
     )
 
 

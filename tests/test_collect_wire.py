@@ -158,3 +158,31 @@ def test_burn_rounds_up_to_chunks():
     # lazy path reports the CPU tuner; eager path the fused device program
     tb = r["setup_breakdown"]
     assert "cpu_tuner_s" in tb or "prepare_compile_s" in tb, tb
+
+
+def test_summary_resume_continues_moments(tmp_path):
+    """An interrupted collect="summary" run must resume its saved partial
+    posterior sums (checkpoint.save_state(moments=), load_moments): the
+    summarized draws are not stored anywhere else, so restarting the
+    accumulators at zero would silently drop the first segment.  The
+    resumed run's final moments must equal the uninterrupted run's exactly
+    (same summation order), for one chain and for two."""
+    mcmc_full = dict(keep=12, burn=4, thin=1)
+    sset = dict(wire_dtype="none", collect="summary", chunk=4)
+    for n_chains in (1, 2):
+        full = spamtree(*_data(), mcmc=mcmc_full, dtype=jnp.float64,
+                        n_chains=n_chains, settings=sset, **KW)
+        ck = str(tmp_path / f"ck{n_chains}.npz")
+        half = spamtree(*_data(), mcmc=dict(keep=8, burn=4, thin=1),
+                        dtype=jnp.float64, n_chains=n_chains,
+                        settings=sset, checkpoint_path=ck, **KW)
+        res = spamtree(*_data(), mcmc=mcmc_full, dtype=jnp.float64,
+                       n_chains=n_chains, settings=sset, resume_from=ck,
+                       **KW)
+        assert res["resumed_kept_already"] == 8
+        assert res["summary_count"] == 12  # 8 saved + 4 resumed
+        np.testing.assert_array_equal(res["w_mean"], full["w_mean"])
+        np.testing.assert_array_equal(res["w_var"], full["w_var"])
+        np.testing.assert_array_equal(res["yhat_mean"], full["yhat_mean"])
+        # the half run alone only saw its own 8 draws
+        assert half["summary_count"] == 8
