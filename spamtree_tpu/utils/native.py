@@ -111,6 +111,28 @@ def group_by_key(keys: np.ndarray):
     return order, starts[: g + 1]
 
 
+def read_sink(path: str, n: int, n_chains: int = 1) -> np.ndarray:
+    """Memory-map a sink file written by a ``sink_dir=`` run back into a
+    draws array WITHOUT loading it into RAM (the point of sinks is
+    n ~ 1e6 where keep*n draws exceed memory).
+
+    ``path`` is ``<sink_dir>/w_mcmc.f32`` or ``yhat_mcmc.f32``; ``n`` the
+    number of rows the model was fit on (``len(result["order"])``); rows
+    are in sorted-row order like every other output.  Returns a read-only
+    float32 memmap of shape (kept, n) or (kept, n_chains, n)."""
+    itemsize = np.dtype(np.float32).itemsize
+    row = n * max(n_chains, 1) * itemsize
+    size = os.path.getsize(path)
+    if size % row:
+        raise ValueError(
+            f"{path}: size {size} is not a whole number of draws for "
+            f"n={n}, n_chains={n_chains}"
+        )
+    shape = ((size // row, n) if n_chains <= 1
+             else (size // row, n_chains, n))
+    return np.memmap(path, dtype=np.float32, mode="r", shape=shape)
+
+
 class SampleSink:
     """Async binary writer for streaming kept samples to disk (native thread
     when available; synchronous fallback otherwise)."""

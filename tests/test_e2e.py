@@ -305,6 +305,15 @@ def test_resume_sink_append(tmp_path):
     assert got.size == 20 * n
     assert np.array_equal(got, want)
 
+    # the reader memory-maps the draws back with the right shape
+    from spamtree_tpu.utils.native import read_sink
+
+    draws = read_sink(os.path.join(sd, "w_mcmc.f32"), n)
+    assert draws.shape == (20, n)
+    assert np.array_equal(np.asarray(draws).ravel(), want)
+    with pytest.raises(ValueError, match="whole number"):
+        read_sink(os.path.join(sd, "w_mcmc.f32"), n + 1)
+
 
 def test_lazy_init_explicit_requires_burn_and_theta():
     """Explicit settings['lazy_init']=True without burn>=1 + sample_theta
