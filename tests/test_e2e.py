@@ -448,3 +448,25 @@ def test_float64_requires_x64_mode():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=300, cwd="/root/repo", env=env)
     assert "GUARD_OK" in out.stdout, (out.stdout, out.stderr[-500:])
+
+
+def test_chains_sink_roundtrip(tmp_path):
+    """Multi-chain draws stream to sinks with the chain axis intact:
+    read_sink(n_chains=C) reproduces the in-RAM run's draws (sink files are
+    float32 by design)."""
+    import os
+
+    from spamtree_tpu.utils.native import read_sink
+
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    n = len(y)
+    kw = dict(dtype=jnp.float64, seed=31, n_chains=2,
+              settings=dict(chunk=5, wire_dtype="none"),
+              mcmc=dict(keep=10, burn=5))
+    ram = spamtree(y, X, coords, **kw)
+    sd = str(tmp_path / "sink")
+    spamtree(y, X, coords, sink_dir=sd, **kw)
+    draws = read_sink(os.path.join(sd, "w_mcmc.f32"), n, n_chains=2)
+    assert draws.shape == (10, 2, n)
+    np.testing.assert_allclose(np.asarray(draws), ram["w_mcmc"],
+                               rtol=1e-6, atol=1e-6)
