@@ -40,3 +40,36 @@ def test_theta_recovers_univariate():
     tq = out["tausq_mcmc"][:, 100:].mean()
     assert 0.5 * tausq < tq < 2.0 * tausq, tq
     assert 0.05 < out["accept_ratio"] < 0.6
+
+
+def test_informative_theta_prior_via_api():
+    """prior=dict(theta=[...]) through the PUBLIC front-end: a tight
+    lognormal prior must dominate a weakly-informative likelihood and pull
+    the theta posterior to the prior mode (the reference computes
+    calc_prior_logratio but never adds it, spamtree_fit.cpp:239-246 -- this
+    is a documented extension, model/priors.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from spamtree_tpu import spamtree
+
+    rng = np.random.default_rng(17)
+    n = 150
+    coords = rng.uniform(size=(n, 2))
+    X = rng.normal(size=(n, 1))
+    y = X[:, 0] + 0.5 * rng.normal(size=n)  # barely spatial: weak likelihood
+    target = 2.0
+    nt = 4  # q=1 AG10: (sigma2, ., ., phi)
+    tight = [("lognormal", float(np.log(target)), 0.05)] * nt
+    out = spamtree(
+        y, X, coords, cell_size=16, K=2,
+        mcmc=dict(keep=300, burn=300),
+        prior=dict(theta=tight, toplim=30.0),
+        starting=dict(theta=np.full(nt, 1.0)),
+        dtype=jnp.float64, seed=3,
+    )
+    th = out["theta_mcmc"]  # (nt, keep)
+    means = th.mean(axis=1)
+    # every dim concentrates near the prior mode (sigma 0.05 in log space;
+    # allow generous slack for likelihood pull + MC error)
+    assert np.all(np.abs(np.log(means) - np.log(target)) < 0.35), means
