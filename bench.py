@@ -214,6 +214,33 @@ def main():
             keep=500, burn=1000, thin=2, kwargs={},
         )
 
+    # Fail FAST with a diagnosable JSON line if the device backend is
+    # unreachable (the axon relay has outages during which jax.devices()
+    # hangs forever) -- a recorded error beats an opaque driver timeout.
+    # The probe runs in a daemon thread; device enumeration is seconds when
+    # the backend is healthy, so 180 s is generous.
+    import threading
+
+    probe_done = threading.Event()
+
+    def _probe():
+        import jax
+
+        jax.devices()
+        probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not probe_done.wait(timeout=180.0):
+        import os
+
+        print(json.dumps({
+            "metric": f"mcmc_iters_per_sec_{CONFIGS[args.config]['name']}",
+            "value": 0.0, "unit": "iters/sec", "vs_baseline": 0.0,
+            "error": "device backend unreachable: jax.devices() did not "
+                     "return within 180 s (axon relay outage?)",
+        }))
+        os._exit(3)
+
     runs = []
     for i in range(max(args.repeats, 1)):
         runs.append(run_config(args.config, keep=args.keep, burn=args.burn,
