@@ -130,7 +130,9 @@ def make_tree(
 
     # per available row, coarse-cell key at each branching level
     lev_cells: list[np.ndarray] = []  # each (n_avail,) int64 keys
-    cell2block: list[dict] = []  # per level: cell key -> block id
+    # per level: (sorted unique cell keys, first block id) -- block at key
+    # uniq[j] is base + j (vectorized stand-in for a key->block dict)
+    cell2block: list[tuple[np.ndarray, int]] = []
     block_rows: list[np.ndarray] = []
     block_level_list: list[int] = []
     res_is_ref_list: list[int] = []
@@ -178,16 +180,14 @@ def make_tree(
 
         knot_keys = ckey_all[knots_local]
         order2, starts = _group_rows(knot_keys)
-        uniq_keys = knot_keys[order2[starts[:-1]]]
-        c2b = {int(k): max_block_number + j for j, k in enumerate(uniq_keys)}
-        cell2block.append(c2b)
-        for j in range(len(uniq_keys)):
-            grp = knots_local[order2[starts[j] : starts[j + 1]]]
-            rows_j = avail[grp]
-            block_rows.append(rows_j)
-            block_level_list.append(res)
-            block_of_row[rows_j] = max_block_number + j
-            res_of_row[rows_j] = res
+        uniq_keys = knot_keys[order2[starts[:-1]]]  # ascending (stable sort)
+        cell2block.append((np.asarray(uniq_keys, dtype=np.int64), max_block_number))
+        rows_sorted = avail[knots_local[order2]]
+        gid = np.repeat(np.arange(len(uniq_keys)), np.diff(starts))
+        block_of_row[rows_sorted] = max_block_number + gid
+        res_of_row[rows_sorted] = res
+        block_rows.extend(np.split(rows_sorted, starts[1:-1]))
+        block_level_list.extend([res] * len(uniq_keys))
         max_block_number += len(uniq_keys)
         res_is_ref_list.append(1)
 
@@ -201,28 +201,60 @@ def make_tree(
 
     ref_levels = [g for g in range(n_branch_levels) if res_is_ref_list[g] == 1]
 
-    def _chain_parents(host_block: int, include_host: bool) -> np.ndarray:
-        """Reference ancestors of a block's chain (make_edges parent rule)."""
-        r0 = block_rows[host_block][0]
-        a0 = np.searchsorted(avail, r0)  # host rows are available rows
-        host_lev = block_level_list[host_block] - (start_level + 1)  # 0-based branch level
-        out = []
-        levs = ref_levels if not limited_tree else ref_levels
-        for g in levs:
-            if g < host_lev:
-                key = int(lev_cells[g][a0])
-                b = cell2block[g].get(key)
-                if b is not None:
-                    out.append(b)
-        if include_host and res_is_ref_list[host_lev] == 1:
-            out.append(host_block)
-        if limited_tree and out:
-            out = [out[-1]]
-        return np.asarray(out, dtype=np.int64)
+    res_is_ref_branch = np.asarray(res_is_ref_list[:n_branch_levels], dtype=np.int64)
 
-    parents: list[np.ndarray] = []
-    for u in range(max_block_number):
-        parents.append(_chain_parents(u, include_host=False))
+    def _chain_parents_batch(hosts: np.ndarray, include_host: bool) -> list[np.ndarray]:
+        """Reference ancestors of each host block's chain (make_edges parent
+        rule, tree_dep.cpp:75-186), batched over all hosts at once.
+
+        Hosts are always branching blocks (their rows are available rows).
+        Per host: ancestors = the reference branching levels strictly above
+        the host's own level whose coarse cell (looked up by the host's
+        first row) formed a block; ``include_host`` appends the host itself
+        when its level is a reference level; ``limited_tree`` keeps only the
+        deepest entry (make_edges_limited)."""
+        hosts = np.asarray(hosts, dtype=np.int64)
+        m = hosts.size
+        if m == 0:
+            return []
+        r0 = np.fromiter((block_rows[h][0] for h in hosts), np.int64, m)
+        a0 = np.searchsorted(avail, r0)  # host rows are available rows
+        host_lev = np.asarray(
+            [block_level_list[h] for h in hosts], dtype=np.int64
+        ) - (start_level + 1)  # 0-based branch level
+        cols, valid = [], []
+        for g in ref_levels:
+            uniq, base = cell2block[g]
+            keys = lev_cells[g][a0]
+            if len(uniq):
+                pos = np.searchsorted(uniq, keys)
+                pos_c = np.minimum(pos, len(uniq) - 1)
+                found = uniq[pos_c] == keys
+            else:
+                pos_c = np.zeros(m, dtype=np.int64)
+                found = np.zeros(m, dtype=bool)
+            cols.append(base + pos_c)
+            valid.append(found & (g < host_lev))
+        if include_host:
+            cols.append(hosts)
+            valid.append(res_is_ref_branch[host_lev] == 1)
+        if not cols:
+            return [np.empty(0, dtype=np.int64)] * m
+        cmat = np.stack(cols, axis=1)  # columns in ascending-level order
+        vmat = np.stack(valid, axis=1)
+        if limited_tree:
+            has = vmat.any(axis=1)
+            last = vmat.shape[1] - 1 - np.argmax(vmat[:, ::-1], axis=1)
+            flat = cmat[np.arange(m), last][has]
+            counts = has.astype(np.int64)
+        else:
+            flat = cmat[vmat]  # row-major: per-host ascending levels
+            counts = vmat.sum(axis=1)
+        return np.split(flat, np.cumsum(counts)[:-1])
+
+    parents: list[np.ndarray] = list(
+        _chain_parents_batch(np.arange(max_block_number), include_host=False)
+    )
 
     # ---- leftover observed rows -> 1-NN extra non-reference level ----
     # (make_tree.R:213-305)
@@ -255,14 +287,13 @@ def make_tree(
         res_left = max_branch_res + 1
         order2, starts = _group_rows(host)
         uniq_hosts = host[order2[starts[:-1]]]
-        for j in range(len(uniq_hosts)):
-            rows_j = left_rows[order2[starts[j] : starts[j + 1]]]
-            u = max_block_number + j
-            block_rows.append(rows_j)
-            block_level_list.append(res_left)
-            block_of_row[rows_j] = u
-            res_of_row[rows_j] = res_left
-            parents.append(_chain_parents(int(uniq_hosts[j]), include_host=True))
+        rows_sorted = left_rows[order2]
+        gid = np.repeat(np.arange(len(uniq_hosts)), np.diff(starts))
+        block_of_row[rows_sorted] = max_block_number + gid
+        res_of_row[rows_sorted] = res_left
+        block_rows.extend(np.split(rows_sorted, starts[1:-1]))
+        block_level_list.extend([res_left] * len(uniq_hosts))
+        parents.extend(_chain_parents_batch(uniq_hosts, include_host=True))
         max_block_number += len(uniq_hosts)
         res_is_ref_list.append(0)
         has_leftover = True
@@ -283,30 +314,31 @@ def make_tree(
         res_miss = (max_branch_res + 2) if has_leftover else (max_branch_res + 1)
         order2, starts = _group_rows(host)
         uniq_hosts = host[order2[starts[:-1]]]
-        for j in range(len(uniq_hosts)):
-            rows_j = missing[order2[starts[j] : starts[j + 1]]]
-            u = max_block_number + j
-            block_rows.append(rows_j)
-            block_level_list.append(res_miss)
-            block_of_row[rows_j] = u
-            res_of_row[rows_j] = res_miss
-            parents.append(_chain_parents(int(uniq_hosts[j]), include_host=True))
+        rows_sorted = missing[order2]
+        gid = np.repeat(np.arange(len(uniq_hosts)), np.diff(starts))
+        block_of_row[rows_sorted] = max_block_number + gid
+        res_of_row[rows_sorted] = res_miss
+        block_rows.extend(np.split(rows_sorted, starts[1:-1]))
+        block_level_list.extend([res_miss] * len(uniq_hosts))
+        parents.extend(_chain_parents_batch(uniq_hosts, include_host=True))
         max_block_number += len(uniq_hosts)
         res_is_ref_list.append(0)
 
     n_blocks = max_block_number
-    block_ct_obs = np.array(
-        [int(observed[r].sum()) for r in block_rows], dtype=np.int64
-    )
+    block_ct_obs = np.bincount(
+        block_of_row[observed & (block_of_row >= 0)], minlength=n_blocks
+    ).astype(np.int64)
 
     # structural invariant: no block shares a level with any of its parents
     # (the Gibbs-group coloring check, reference: spamtree_model.cpp:201-226)
     blk_lev = np.asarray(block_level_list)
-    for u in range(n_blocks):
-        if parents[u].size:
-            assert np.all(blk_lev[parents[u]] < blk_lev[u]), (
-                f"block {u}: parent at same/deeper level"
-            )
+    par_sizes = np.fromiter((p.size for p in parents), np.int64, n_blocks)
+    if par_sizes.sum():
+        par_flat = np.concatenate([p for p in parents if p.size])
+        own_lev = np.repeat(blk_lev, par_sizes)
+        assert np.all(blk_lev[par_flat] < own_lev), (
+            "coloring invariant violated: parent at same/deeper level"
+        )
 
     return TreeLevels(
         n_rows=n,
