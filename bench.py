@@ -222,23 +222,31 @@ def main():
     import threading
 
     probe_done = threading.Event()
+    probe_err = []
 
     def _probe():
         import jax
 
-        jax.devices()
+        try:
+            jax.devices()
+        except BaseException as e:  # record init failures, don't swallow them
+            probe_err.append(f"{type(e).__name__}: {e}")
         probe_done.set()
 
     threading.Thread(target=_probe, daemon=True).start()
-    if not probe_done.wait(timeout=180.0):
+    if not probe_done.wait(timeout=180.0) or probe_err:
         import os
 
         print(json.dumps({
             "metric": f"mcmc_iters_per_sec_{CONFIGS[args.config]['name']}",
             "value": 0.0, "unit": "iters/sec", "vs_baseline": 0.0,
-            "error": "device backend unreachable: jax.devices() did not "
-                     "return within 180 s (axon relay outage?)",
-        }))
+            "error": ("device backend init failed: " + probe_err[0]
+                      if probe_err else
+                      "device backend unreachable: jax.devices() did not "
+                      "return within 180 s (axon relay outage?)"),
+        }), flush=True)
+        # os._exit skips interpreter teardown (the hung backend thread would
+        # block a normal exit) -- the flush above is what lands the JSON line
         os._exit(3)
 
     runs = []

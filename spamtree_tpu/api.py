@@ -493,6 +493,18 @@ def spamtree(
                 f"{cfg.keep} kept draws for this mcmc config; nothing to "
                 f"resume"
             )
+        if (settings["collect"] == "summary" and kept_already > 0
+                and init_moments is None):
+            # the draws behind kept_already were never stored; without the
+            # saved partial sums the summary would silently cover only the
+            # post-resume draws while reporting kept_total over all of them
+            raise ValueError(
+                f"checkpoint at iteration {resumed_it} holds {kept_already} "
+                f"kept draws but no moment accumulators (it was written by "
+                f"a collect='all' run or a version without summary "
+                f"checkpointing); an exact collect='summary' continuation "
+                f"is impossible -- resume with collect='all' instead"
+            )
         cfg = cfg._replace(burn=rem_burn, keep=cfg.keep - kept_already)
         if verbose:
             print(f"[resume] iteration {resumed_it}: {kept_already} kept "

@@ -121,8 +121,15 @@ def read_sink(path: str, n: int, n_chains: int = 1) -> np.ndarray:
     are in sorted-row order like every other output.  Returns a read-only
     float32 memmap of shape (kept, n) or (kept, n_chains, n)."""
     itemsize = np.dtype(np.float32).itemsize
+    if n <= 0:
+        raise ValueError(f"read_sink: n must be positive, got {n}")
     row = n * max(n_chains, 1) * itemsize
     size = os.path.getsize(path)
+    shape0 = ((0, n) if n_chains <= 1 else (0, n_chains, n))
+    if size == 0:
+        # np.memmap refuses empty files; an interrupted run can leave a
+        # sink with no drained chunks -- that is 0 kept draws, not an error
+        return np.empty(shape0, dtype=np.float32)
     if size % row:
         raise ValueError(
             f"{path}: size {size} is not a whole number of draws for "

@@ -186,3 +186,50 @@ def test_summary_resume_continues_moments(tmp_path):
         np.testing.assert_array_equal(res["yhat_mean"], full["yhat_mean"])
         # the half run alone only saw its own 8 draws
         assert half["summary_count"] == 8
+
+
+def test_summary_resume_requires_saved_moments(tmp_path):
+    """Resuming a collect="summary" run from a checkpoint WITHOUT moment
+    accumulators (written by a collect="all" run) must raise: the draws
+    behind kept_already were never stored, so an exact continuation is
+    impossible and a silent zero-restart would drop them from the summary."""
+    import pytest
+
+    ck = str(tmp_path / "ck.npz")
+    spamtree(*_data(), mcmc=dict(keep=8, burn=4, thin=1),
+             dtype=jnp.float64, settings=dict(wire_dtype="none", chunk=4),
+             checkpoint_path=ck, **KW)  # collect="all": no moments saved
+    with pytest.raises(ValueError, match="no moment accumulators"):
+        spamtree(*_data(), mcmc=dict(keep=12, burn=4, thin=1),
+                 dtype=jnp.float64,
+                 settings=dict(wire_dtype="none", collect="summary",
+                               chunk=4),
+                 resume_from=ck, **KW)
+    # mid-burn checkpoints hold no kept draws: summary resume stays legal
+    ck2 = str(tmp_path / "ck2.npz")
+    spamtree(*_data(), mcmc=dict(keep=0, burn=4, thin=1),
+             dtype=jnp.float64, settings=dict(wire_dtype="none", chunk=4),
+             checkpoint_path=ck2, **KW)
+    res = spamtree(*_data(), mcmc=dict(keep=4, burn=4, thin=1),
+                   dtype=jnp.float64,
+                   settings=dict(wire_dtype="none", collect="summary",
+                                 chunk=4),
+                   resume_from=ck2, **KW)
+    assert res["summary_count"] == 4
+
+
+def test_read_sink_empty_and_bad_n(tmp_path):
+    """read_sink on a zero-length sink (run interrupted before the first
+    drain) returns 0 kept draws instead of np.memmap's opaque crash."""
+    import pytest
+
+    from spamtree_tpu.utils.native import read_sink
+
+    p = str(tmp_path / "w_mcmc.f32")
+    open(p, "wb").close()
+    out = read_sink(p, n=100)
+    assert out.shape == (0, 100) and out.dtype == np.float32
+    out2 = read_sink(p, n=100, n_chains=3)
+    assert out2.shape == (0, 3, 100)
+    with pytest.raises(ValueError, match="positive"):
+        read_sink(p, n=0)
