@@ -470,3 +470,21 @@ def test_chains_sink_roundtrip(tmp_path):
     assert draws.shape == (10, 2, n)
     np.testing.assert_allclose(np.asarray(draws), ram["w_mcmc"],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_interval_coverage_calibration():
+    """Posterior credible intervals are calibrated: over replicates
+    simulated from the exact generative model, pooled 90% intervals for
+    the latent w (observed rows) and the posterior-predictive yhat
+    (held-out rows) cover the truth at ~nominal rate.  This is the
+    reference's simulate-and-recover validation (man/spamtree.Rd:128-208)
+    made quantitative -- a biased sampler shows systematic under- or
+    over-coverage.  Bounds are generous for R=6 replicates (within-
+    replicate spatial correlation shrinks the effective sample)."""
+    from examples.coverage_sim import run
+
+    res = run(R=6, n=300, keep=250, burn=250, level=0.9, seed0=500)
+    assert 0.78 <= res["w_coverage"] <= 0.99, res
+    assert 0.78 <= res["yhat_coverage"] <= 0.99, res
+    # beta: 12 indicator draws; require no gross miscalibration
+    assert min(res["beta_coverage"]) >= 0.5, res
