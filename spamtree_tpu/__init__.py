@@ -30,7 +30,7 @@ if not _os.environ.get("SPAMTREE_NO_COMPILE_CACHE"):
     except Exception:
         pass
 
-from spamtree_tpu.api import spamtree
+from spamtree_tpu.api import spamtree, spamtree_predict
 from spamtree_tpu.model.transforms import transf_back as par_huvtransf_back
 from spamtree_tpu.model.transforms import transf_fwd as par_huvtransf_fwd
 from spamtree_tpu.ops.covariance import cross_covariance_ag10 as CrossCovarianceAG10
@@ -47,7 +47,7 @@ from spamtree_tpu.utils.summaries import (
 )
 
 __all__ = [
-    "spamtree", "CrossCovarianceAG10", "list_mean", "list_qtile",
+    "spamtree", "spamtree_predict", "CrossCovarianceAG10", "list_mean", "list_qtile",
     "list_cubes_mean", "find_nan", "find_not_nan", "vec_to_symmat",
     "par_huvtransf_fwd", "par_huvtransf_back", "kthresholds", "axis_bins",
     "make_tree", "rhat", "ess",

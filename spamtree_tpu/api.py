@@ -610,6 +610,18 @@ def spamtree(
         "tree": tree,
         "schedule": sched,
         "theta_bounds": tspec.bounds,
+        # everything spamtree_predict needs to rebuild the same partition
+        # and theta packing for post-fit prediction at new locations
+        "fit_config": dict(
+            cell_size=cell_size, K=K, start_level=start_level,
+            tree_depth=tree_depth, last_not_reference=last_not_reference,
+            limited_tree=limited_tree,
+            cherrypick_same_margin=cherrypick_same_margin,
+            cherrypick_group_locations=cherrypick_group_locations,
+            mvbias=mvbias, seed=seed, dtype=dtype, mv_labels=uniq,
+            btmlim=prior["btmlim"], toplim=prior["toplim"],
+            vlim=prior["vlim"], set_unif_bounds=prior["set_unif_bounds"],
+        ),
     }
     if settings["collect"] == "summary":
         # summary mode: device-accumulated posterior moments instead of the
@@ -628,3 +640,221 @@ def spamtree(
         out["theta_rhat"] = rhat(res["theta"])
         out["theta_ess"] = ess(res["theta"])
     return out
+
+
+def spamtree_predict(
+    fit,
+    y,
+    x,
+    coords,
+    coords_new,
+    x_new,
+    mv_id=None,
+    mv_id_new=None,
+    n_draws=None,
+    seed=1,
+    chunk=32,
+    verbose=False,
+):
+    """Posterior-predictive draws at NEW locations after a fit, no refit.
+
+    The reference can only predict at locations supplied as NA rows to the
+    original call (prediction happens inside the MCMC loop,
+    reference: src/spamtree_model.cpp:1229-1358); adding locations later
+    means rerunning the whole chain.  This rebuilds the same partition over
+    the augmented dataset -- the tree is a deterministic function of the
+    OBSERVED rows only, so every observed block is unchanged and the new
+    locations attach to the final prediction level by the same 1-NN rule
+    (make_tree.R:317-413 semantics) -- then replays the fit's kept draws
+    through the conditional-normal prediction operator
+    (``predict_recompute``): for each kept (theta_s, w_s) the latent at the
+    new locations is drawn from its exact treed-DAG conditional, and yhat
+    adds X_new beta_s + observation noise.
+
+    Parameters: ``fit`` is the dict returned by :func:`spamtree` (must be a
+    draw-collecting run: ``collect="all"``); ``y, x, coords, mv_id`` are
+    the ORIGINAL fit inputs (the tree is rebuilt from them);
+    ``coords_new (m, dd)``, ``x_new (m, p)``, ``mv_id_new`` describe the
+    new locations.  ``n_draws`` subsamples the kept draws evenly (default:
+    all); ``chunk`` draws are processed per compiled call.
+
+    Returns dict(w_pred (S, m), yhat_pred (S, m), draw_indices) in the
+    original row order of ``coords_new``.
+    """
+    import jax
+
+    from spamtree_tpu.model.core import ModelStatic, predict_recompute
+    from spamtree_tpu.model.params import make_theta_spec
+    from spamtree_tpu.tree.partition import make_tree
+    from spamtree_tpu.tree.schedule import build_schedule
+
+    fc = fit.get("fit_config")
+    if fc is None:
+        raise ValueError(
+            "fit has no 'fit_config' (produced by an older version?); "
+            "re-run spamtree() to use spamtree_predict"
+        )
+    w_draws = np.asarray(fit["w_mcmc"], dtype=np.float64)
+    theta_draws = np.asarray(fit["theta_mcmc"], dtype=np.float64)
+    if fit.get("n_chains", 1) > 1:
+        # chains all target the posterior: fold the chain axis into draws
+        w_draws = w_draws.reshape(-1, w_draws.shape[-1])
+        theta_draws = theta_draws.reshape(-1, theta_draws.shape[-1])
+        beta_draws = np.asarray(fit["beta_mcmc"], dtype=np.float64)
+        beta_draws = beta_draws.reshape(-1, *beta_draws.shape[2:])
+        tausq_draws = np.asarray(fit["tausq_mcmc"], dtype=np.float64)
+        tausq_draws = tausq_draws.reshape(-1, tausq_draws.shape[-1])
+    else:
+        # single chain: theta (n_theta, keep), beta (p, keep, q),
+        # tausq (q, keep) -- the reference's layouts
+        theta_draws = theta_draws.T
+        beta_draws = np.moveaxis(
+            np.asarray(fit["beta_mcmc"], dtype=np.float64), 1, 0)
+        tausq_draws = np.asarray(fit["tausq_mcmc"], dtype=np.float64).T
+    S_all = w_draws.shape[0]
+    if S_all == 0 or w_draws.shape[0] != theta_draws.shape[0]:
+        raise ValueError(
+            "fit holds no full w draws (collect='summary'?); "
+            "spamtree_predict needs a draw-collecting fit"
+        )
+
+    # normalize the original inputs exactly like spamtree()
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    coords = np.asarray(coords, dtype=np.float64)
+    n, dd = coords.shape
+    if mv_id is None:
+        mv_id = np.ones(n, dtype=np.int64)
+    mv_id = np.asarray(mv_id, dtype=np.int64)
+    coords_new = np.asarray(coords_new, dtype=np.float64)
+    if coords_new.ndim == 1:
+        coords_new = coords_new[:, None]
+    m = coords_new.shape[0]
+    if coords_new.shape[1] != dd:
+        raise ValueError(f"coords_new has {coords_new.shape[1]} columns, "
+                         f"fit used {dd}")
+    x_new = np.asarray(x_new, dtype=np.float64)
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    if x_new.shape != (m, x.shape[1]):
+        raise ValueError(f"x_new must be ({m}, {x.shape[1]})")
+    if mv_id_new is None:
+        mv_id_new = np.ones(m, dtype=np.int64)
+    mv_id_new = np.asarray(mv_id_new, dtype=np.int64)
+    uniq = np.asarray(fc["mv_labels"])
+    if not np.isin(mv_id_new, uniq).all():
+        raise ValueError("mv_id_new contains labels the fit never saw")
+    q = len(uniq)
+
+    # augmented dataset: new rows are NA responses appended at the end
+    y_aug = np.concatenate([y, np.full(m, np.nan)])
+    x_aug = np.vstack([x, x_new])
+    coords_aug = np.vstack([coords, coords_new])
+    mv0_aug = np.searchsorted(uniq, np.concatenate([mv_id, mv_id_new]))
+    n_aug = n + m
+
+    order = np.lexsort(tuple(
+        [np.arange(n_aug)] + [coords_aug[:, j] for j in range(dd - 1, -1, -1)]
+    ))
+    ys, xs, cs, mvs = (y_aug[order], x_aug[order], coords_aug[order],
+                       mv0_aug[order])
+    na_which = np.isfinite(ys)
+
+    if np.isscalar(fc["cell_size"]):
+        axis_size = int(round(fc["cell_size"] ** (1.0 / dd)))
+    else:
+        axis_size = np.asarray(fc["cell_size"])
+    tree = make_tree(
+        cs, na_which, mvs,
+        axis_cell_size=axis_size, K=fc["K"], start_level=fc["start_level"],
+        tree_depth=fc["tree_depth"],
+        last_not_reference=fc["last_not_reference"],
+        limited_tree=fc["limited_tree"],
+        cherrypick_same_margin=fc["cherrypick_same_margin"],
+        cherrypick_group_locations=fc["cherrypick_group_locations"],
+        mvbias=fc["mvbias"], rng=np.random.default_rng(fc["seed"]),
+        verbose=False,
+    )
+    # invariant: observed rows (which alone drive the partition) landed in
+    # the same blocks as in the fit -- the fit's block ids over its sorted
+    # observed rows must equal the augmented tree's, id-for-id
+    fit_tree = fit.get("tree")
+    if fit_tree is not None:
+        obs_fit = np.isfinite(np.asarray(y)[fit["order"]])
+        assert np.array_equal(
+            tree.block_of_row[na_which],
+            np.asarray(fit_tree.block_of_row)[obs_fit],
+        ), "augmented partition diverged from the fit's on observed rows"
+    sched = build_schedule(tree, limited_tree=fc["limited_tree"])
+    tspec = make_theta_spec(
+        dd, q,
+        btmlim=fc["btmlim"] if fc["btmlim"] is not None else 1e-3,
+        toplim=fc["toplim"] if fc["toplim"] is not None else 1e3,
+        vlim=fc["vlim"], set_unif_bounds=fc["set_unif_bounds"],
+    )
+    ms = ModelStatic(sched, cs, mvs, ys, xs, tspec.spec, dtype=fc["dtype"])
+
+    # fit's sorted-row w draws -> augmented sorted positions (old rows only;
+    # every prediction row is redrawn inside predict_recompute anyway)
+    inv_fit_order = np.empty(n, dtype=np.int64)
+    inv_fit_order[fit["order"]] = np.arange(n)
+    old_rows = order < n  # augmented-sorted rows that existed in the fit
+    src = inv_fit_order[order[old_rows]]
+    new_pos_sorted = np.flatnonzero(~old_rows)
+    # report in the caller's coords_new order
+    new_pos = new_pos_sorted[np.argsort(order[~old_rows] - n)]
+
+    sel = (np.linspace(0, S_all - 1, int(n_draws)).round().astype(int)
+           if n_draws is not None and n_draws < S_all
+           else np.arange(S_all))
+    S = len(sel)
+
+    new_pos_dev = jnp.asarray(new_pos, dtype=jnp.int32)
+
+    # ms passes as a pytree ARGUMENT (closed-over device arrays would be
+    # inlined as O(n) program constants; see ModelStatic's pytree note)
+    @jax.jit
+    def _chunk(ms_, thetas, ws, keys):
+        def body(_, args):
+            th, w0, k = args
+            wf = predict_recompute(ms_, th, w0, k)
+            return None, wf[new_pos_dev]
+        return jax.lax.scan(body, None, (thetas, ws, keys))[1]
+
+    root = jax.random.PRNGKey(seed)
+    w_pred = np.empty((S, m), dtype=np.float64)
+    dt = ms.dtype
+    for lo in range(0, S, chunk):
+        idx = sel[lo : lo + chunk]
+        c = len(idx)
+        pad = chunk - c
+        wb = np.zeros((chunk, n_aug + 1), dtype=np.dtype(dt))
+        wb[:c, : n_aug][:, old_rows] = w_draws[idx][:, src]
+        th = np.zeros((chunk, theta_draws.shape[1]), dtype=np.dtype(dt))
+        th[:c] = theta_draws[idx]
+        if pad:
+            th[c:] = theta_draws[idx[-1]]  # benign filler, discarded
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(root, i)
+        )(jnp.arange(lo, lo + chunk))
+        out = np.asarray(_chunk(ms, jnp.asarray(th), jnp.asarray(wb), keys))
+        w_pred[lo : lo + c] = out[:c]
+        if verbose:
+            print(f"[predict] draws {lo + c}/{S}")
+
+    # yhat = X_new beta_s (own margin) + w_new + tausq noise (host side,
+    # mirrors the in-fit yhat assembly)
+    rng = np.random.default_rng(seed)
+    mvn0 = np.searchsorted(uniq, mv_id_new)
+    xb = np.einsum("np,spq->snq", x_new, beta_draws[sel])[
+        :, np.arange(m), mvn0]
+    noise_sd = np.sqrt(tausq_draws[sel][:, mvn0])
+    yhat_pred = xb + w_pred + noise_sd * rng.standard_normal((S, m))
+
+    return {
+        "w_pred": w_pred,
+        "yhat_pred": yhat_pred,
+        "draw_indices": sel,
+    }

@@ -1,0 +1,124 @@
+"""Post-fit prediction at NEW locations (spamtree_predict).
+
+The reference can only predict at NA rows supplied to the original call;
+spamtree_predict replays a finished fit's kept draws through the same
+treed-DAG conditional at locations the fit never saw.  The gate: for the
+SAME held-out locations, (a) the in-fit prediction path (rows passed as
+NA) and (b) the post-fit path (rows withheld entirely, predicted after)
+must produce the same posterior-predictive law -- means agree within the
+Monte-Carlo envelope, and both beat the data scale on RMSPE.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spamtree_tpu import spamtree, spamtree_predict
+
+
+def _sim(n=420, seed=5):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(size=(n, 2))
+    d = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
+    C = np.exp(-7.0 * d)
+    w = np.linalg.cholesky(C + 1e-10 * np.eye(n)) @ rng.normal(size=n)
+    X = rng.normal(size=(n, 2))
+    beta = np.array([1.0, -0.5])
+    y_full = X @ beta + w + 0.1 * rng.normal(size=n)
+    held = rng.uniform(size=n) < 0.15
+    return coords, X, y_full, held
+
+
+MCMC = dict(keep=400, burn=300, thin=1)
+KW = dict(cell_size=16, K=2, seed=9, dtype=jnp.float64)
+
+
+def test_predict_new_matches_in_fit_prediction():
+    coords, X, y_full, held = _sim()
+    y_na = np.where(held, np.nan, y_full)
+
+    # (a) reference path: held-out rows ride along as NA rows
+    fit_a = spamtree(y_na, X, coords, mcmc=MCMC, **KW)
+    pos_a = np.flatnonzero(held[fit_a["order"]])
+    yhat_a = fit_a["yhat_mcmc"][:, pos_a]
+    w_a = fit_a["w_mcmc"][:, pos_a]
+    # map back to original held-row order
+    orig_a = fit_a["order"][pos_a]
+    ord_a = np.argsort(np.argsort(orig_a))
+
+    # (b) post-fit path: fit never sees the held rows at all
+    obs = ~held
+    fit_b = spamtree(y_full[obs], X[obs], coords[obs], mcmc=MCMC, **KW)
+    pred = spamtree_predict(
+        fit_b, y_full[obs], X[obs], coords[obs],
+        coords_new=coords[held], x_new=X[held], seed=3,
+    )
+    assert pred["w_pred"].shape == (MCMC["keep"], int(held.sum()))
+
+    held_sorted = np.sort(np.flatnonzero(held))
+    # yhat_a rows correspond to orig_a; reorder both to held_sorted order
+    ya = yhat_a[:, np.argsort(orig_a)]
+    wa = w_a[:, np.argsort(orig_a)]
+    yb, wb = pred["yhat_pred"], pred["w_pred"]
+
+    # posterior-predictive means agree within the joint MC envelope:
+    # sd_of_mean ~ posterior sd / sqrt(ESS); use the empirical spread
+    sd = np.sqrt(ya.var(0) / 40 + yb.var(0) / 40) + 0.05
+    frac_off = np.mean(np.abs(ya.mean(0) - yb.mean(0)) > 4 * sd)
+    assert frac_off < 0.08, (frac_off, np.abs(ya.mean(0) - yb.mean(0)).max())
+    sdw = np.sqrt(wa.var(0) / 40 + wb.var(0) / 40) + 0.05
+    assert np.mean(np.abs(wa.mean(0) - wb.mean(0)) > 4 * sdw) < 0.08
+
+    # posterior-predictive spreads match too (same conditional law)
+    r = np.median(yb.std(0) / np.maximum(ya.std(0), 1e-6))
+    assert 0.6 < r < 1.6, r
+
+    # both predict the truth far better than the data scale
+    truth = y_full[held_sorted]
+    rm_a = np.sqrt(np.mean((ya.mean(0) - truth) ** 2))
+    rm_b = np.sqrt(np.mean((yb.mean(0) - truth) ** 2))
+    sd_y = y_full.std()
+    assert rm_a < 0.6 * sd_y and rm_b < 0.6 * sd_y
+    assert abs(rm_a - rm_b) < 0.25 * sd_y
+
+
+def test_predict_new_input_validation():
+    coords, X, y_full, held = _sim(n=220)
+    obs = ~held
+    fit = spamtree(y_full[obs], X[obs], coords[obs],
+                   mcmc=dict(keep=20, burn=20, thin=1), **KW)
+    with pytest.raises(ValueError, match="x_new"):
+        spamtree_predict(fit, y_full[obs], X[obs], coords[obs],
+                         coords_new=coords[held], x_new=X[held][:, :1])
+    with pytest.raises(ValueError, match="columns"):
+        spamtree_predict(fit, y_full[obs], X[obs], coords[obs],
+                         coords_new=coords[held][:, :1], x_new=X[held])
+    with pytest.raises(ValueError, match="labels"):
+        spamtree_predict(fit, y_full[obs], X[obs], coords[obs],
+                         coords_new=coords[held], x_new=X[held],
+                         mv_id_new=np.full(int(held.sum()), 7))
+    # summary-mode fits hold no draws
+    fs = spamtree(y_full[obs], X[obs], coords[obs],
+                  mcmc=dict(keep=20, burn=20, thin=1),
+                  settings=dict(collect="summary"), **KW)
+    with pytest.raises(ValueError, match="draw"):
+        spamtree_predict(fs, y_full[obs], X[obs], coords[obs],
+                         coords_new=coords[held], x_new=X[held])
+
+
+def test_predict_new_subsample_and_chunking():
+    """n_draws subsampling + a chunk size that forces padding both work;
+    draws are reproducible for a fixed seed."""
+    coords, X, y_full, held = _sim(n=260, seed=8)
+    obs = ~held
+    fit = spamtree(y_full[obs], X[obs], coords[obs],
+                   mcmc=dict(keep=60, burn=60, thin=1), **KW)
+    args = (fit, y_full[obs], X[obs], coords[obs])
+    kw = dict(coords_new=coords[held], x_new=X[held])
+    p1 = spamtree_predict(*args, n_draws=25, chunk=7, seed=2, **kw)
+    p2 = spamtree_predict(*args, n_draws=25, chunk=11, seed=2, **kw)
+    assert p1["w_pred"].shape[0] == 25
+    assert np.array_equal(p1["draw_indices"], p2["draw_indices"])
+    # same draws, same per-draw keys -> identical w despite chunking
+    np.testing.assert_allclose(p1["w_pred"], p2["w_pred"],
+                               rtol=1e-10, atol=1e-12)
