@@ -44,7 +44,6 @@ def test_predict_new_matches_in_fit_prediction():
     w_a = fit_a["w_mcmc"][:, pos_a]
     # map back to original held-row order
     orig_a = fit_a["order"][pos_a]
-    ord_a = np.argsort(np.argsort(orig_a))
 
     # (b) post-fit path: fit never sees the held rows at all
     obs = ~held
@@ -122,3 +121,20 @@ def test_predict_new_subsample_and_chunking():
     # same draws, same per-draw keys -> identical w despite chunking
     np.testing.assert_allclose(p1["w_pred"], p2["w_pred"],
                                rtol=1e-10, atol=1e-12)
+
+
+def test_predict_new_multichain_flatten():
+    """A multi-chain fit's (keep, C, ...) draws fold into keep*C replay
+    draws; outputs stay finite and shaped (S, m)."""
+    coords, X, y_full, held = _sim(n=240, seed=12)
+    obs = ~held
+    fit = spamtree(y_full[obs], X[obs], coords[obs], n_chains=2,
+                   mcmc=dict(keep=15, burn=15, thin=1), **KW)
+    p = spamtree_predict(fit, y_full[obs], X[obs], coords[obs],
+                         coords_new=coords[held], x_new=X[held],
+                         n_draws=12, chunk=5)
+    assert p["w_pred"].shape == (12, int(held.sum()))
+    assert np.isfinite(p["yhat_pred"]).all()
+    truth = y_full[held]
+    rm = np.sqrt(np.mean((p["yhat_pred"].mean(0) - truth) ** 2))
+    assert rm < 0.7 * y_full.std()
