@@ -138,3 +138,61 @@ def test_predict_new_multichain_flatten():
     truth = y_full[held]
     rm = np.sqrt(np.mean((p["yhat_pred"].mean(0) - truth) ** 2))
     assert rm < 0.7 * y_full.std()
+
+
+def test_predict_new_exact_conditional_single_block():
+    """Analytic gate: with ONE reference block (last_not_reference=False,
+    huge cell), a new location's treed conditional is the exact dense-GP
+    per-location conditional N(Kxc' Kxx^-1 w, kii - Kxc' Kxx^-1 Kxc).
+    Replaying one fixed (theta, w) draw many times must reproduce that
+    mean and variance empirically -- this pins the tree rebuild, operator
+    construction, and conditional draw end-to-end."""
+    from spamtree_tpu.ops.covariance import pairwise_cov, unpack_theta
+    from spamtree_tpu.model.params import make_theta_spec
+
+    rng = np.random.default_rng(3)
+    n, m, S = 40, 8, 600
+    coords = rng.uniform(size=(n, 2))
+    X = rng.normal(size=(n, 1))
+    y = X[:, 0] + rng.normal(size=n)
+    fit = spamtree(y, X, coords, mcmc=dict(keep=2, burn=10, thin=1),
+                   cell_size=64 ** 2, last_not_reference=False, **{
+                       k: v for k, v in KW.items() if k != "cell_size"})
+    assert fit["tree"].n_blocks == 1  # the premise: a single reference block
+
+    theta0 = np.asarray(fit["theta_mcmc"][:, -1])
+    w0 = np.asarray(fit["w_mcmc"][-1])
+    fake = dict(fit)
+    fake["w_mcmc"] = np.tile(w0, (S, 1))
+    fake["theta_mcmc"] = np.tile(theta0[:, None], (1, S))
+    fake["beta_mcmc"] = np.tile(fit["beta_mcmc"][:, -1:, :], (1, S, 1))
+    fake["tausq_mcmc"] = np.tile(fit["tausq_mcmc"][:, -1:], (1, S))
+
+    cnew = rng.uniform(size=(m, 2))
+    p = spamtree_predict(fake, y, X, coords, coords_new=cnew,
+                         x_new=np.zeros((m, 1)), seed=5)
+
+    # dense analytic conditional at theta0 (univariate exponential model)
+    spec = make_theta_spec(2, 1).spec
+    params = unpack_theta(jnp.asarray(theta0, dtype=jnp.float64), spec)
+    cs = coords[fit["order"]]
+    mv0 = np.zeros(n, dtype=np.int32)
+    Kxx = np.asarray(pairwise_cov(jnp.asarray(cs), jnp.asarray(mv0),
+                                  jnp.asarray(cs), jnp.asarray(mv0),
+                                  params, spec))
+    Kxc = np.asarray(pairwise_cov(jnp.asarray(cs), jnp.asarray(mv0),
+                                  jnp.asarray(cnew), jnp.asarray(np.zeros(m, np.int32)),
+                                  params, spec))
+    kii = np.asarray(pairwise_cov(jnp.asarray(cnew), jnp.asarray(np.zeros(m, np.int32)),
+                                  jnp.asarray(cnew), jnp.asarray(np.zeros(m, np.int32)),
+                                  params, spec)).diagonal()
+    A = np.linalg.solve(Kxx, Kxc)  # (n, m)
+    mean_true = A.T @ w0
+    var_true = kii - np.einsum("nm,nm->m", Kxc, A)
+
+    emp_mean = p["w_pred"].mean(0)
+    emp_var = p["w_pred"].var(0)
+    se = np.sqrt(var_true / S)
+    assert np.all(np.abs(emp_mean - mean_true) < 5 * se + 1e-8), (
+        emp_mean, mean_true)
+    np.testing.assert_allclose(emp_var, var_true, rtol=0.35, atol=1e-8)
