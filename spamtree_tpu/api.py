@@ -728,6 +728,11 @@ def spamtree_predict(
     if mv_id is None:
         mv_id = np.ones(n, dtype=np.int64)
     mv_id = np.asarray(mv_id, dtype=np.int64)
+    if w_draws.shape[-1] != n:
+        raise ValueError(
+            f"fit draws cover {w_draws.shape[-1]} rows but y/coords have "
+            f"{n}; pass the SAME data the fit used"
+        )
     coords_new = np.asarray(coords_new, dtype=np.float64)
     if coords_new.ndim == 1:
         coords_new = coords_new[:, None]
