@@ -36,6 +36,7 @@ from spamtree_tpu.model.transforms import transf_fwd as par_huvtransf_fwd
 from spamtree_tpu.ops.covariance import cross_covariance_ag10 as CrossCovarianceAG10
 from spamtree_tpu.ops.covariance import vec_to_symmat
 from spamtree_tpu.tree.partition import axis_bins, kthresholds, make_tree
+from spamtree_tpu.utils.fitio import load_fit, save_fit
 from spamtree_tpu.utils.summaries import (
     ess,
     find_nan,
@@ -50,6 +51,6 @@ __all__ = [
     "spamtree", "spamtree_predict", "CrossCovarianceAG10", "list_mean", "list_qtile",
     "list_cubes_mean", "find_nan", "find_not_nan", "vec_to_symmat",
     "par_huvtransf_fwd", "par_huvtransf_back", "kthresholds", "axis_bins",
-    "make_tree", "rhat", "ess",
+    "make_tree", "rhat", "ess", "save_fit", "load_fit",
 ]
 __version__ = "0.1.0"
