@@ -45,12 +45,13 @@ from spamtree_tpu.utils.summaries import (
     list_mean,
     list_qtile,
     rhat,
+    summarize_fit,
 )
 
 __all__ = [
     "spamtree", "spamtree_predict", "CrossCovarianceAG10", "list_mean", "list_qtile",
     "list_cubes_mean", "find_nan", "find_not_nan", "vec_to_symmat",
     "par_huvtransf_fwd", "par_huvtransf_back", "kthresholds", "axis_bins",
-    "make_tree", "rhat", "ess", "save_fit", "load_fit",
+    "make_tree", "rhat", "ess", "save_fit", "load_fit", "summarize_fit",
 ]
 __version__ = "0.1.0"

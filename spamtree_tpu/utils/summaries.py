@@ -93,6 +93,79 @@ def ess(x):
     return float(out[0]) if squeeze else out
 
 
+def _draws_first(fit, key, n_chains):
+    """Normalize a fit's sample array to (draws[, chains], ...param dims)."""
+    x = np.asarray(fit[key], dtype=np.float64)
+    if n_chains > 1 or x.ndim == 0:
+        return x  # multi-chain layouts are already (keep, C, ...)
+    if key == "beta_mcmc":  # (p, keep, q) -> (keep, p, q)
+        return np.moveaxis(x, 1, 0) if x.ndim == 3 else x
+    if key in ("tausq_mcmc", "theta_mcmc"):  # (k, keep) -> (keep, k)
+        return x.T if x.ndim == 2 else x
+    return x  # w/yhat are (keep, n) already
+
+
+def _moment_table(x, probs, n_chains):
+    """mean/sd/quantiles over all draws; rhat/ess when chains allow."""
+    flat = x.reshape(-1, *x.shape[2:]) if n_chains > 1 else x
+    out = {
+        "mean": flat.mean(axis=0),
+        "sd": flat.std(axis=0, ddof=1) if flat.shape[0] > 1
+        else np.zeros(flat.shape[1:]),
+        "q": {float(p): np.quantile(flat, p, axis=0) for p in probs},
+    }
+    if n_chains > 1 and x.shape[0] >= 4:
+        out["rhat"] = rhat(x)
+        out["ess"] = ess(x)
+    return out
+
+
+def summarize_fit(fit, probs=(0.05, 0.5, 0.95)):
+    """Posterior summary tables for a :func:`spamtree` fit.
+
+    The reference leaves this to the user (its exported list_mean/list_qtile
+    are the raw ingredients, src/list_mean.cpp); this assembles the standard
+    report in one call, handling every fit layout: single-chain, multi-chain
+    (folding chains into draws, plus split-Rhat/bulk-ESS per parameter when
+    >= 2 chains), and ``collect="summary"`` runs (moment accumulators stand
+    in for the absent w/yhat draws).
+
+    Returns a dict with per-target tables ``beta`` (p, q), ``tausq`` (q,),
+    ``theta`` (n_theta,), ``w``/``yhat`` (n,) -- each holding ``mean``,
+    ``sd``, ``q`` {prob: array} (and ``rhat``/``ess`` for theta-like targets
+    on multi-chain fits) -- plus ``n_draws``, ``n_chains``, ``accept_ratio``.
+    Row order of w/yhat follows the fit's sorted coords; ``fit["order"]``
+    maps back to input rows.
+    """
+    C = int(fit.get("n_chains", 1))
+    out = {"n_chains": C, "accept_ratio": fit.get("accept_ratio")}
+    for name, key in (("beta", "beta_mcmc"), ("tausq", "tausq_mcmc"),
+                      ("theta", "theta_mcmc")):
+        x = _draws_first(fit, key, C)
+        if x.size:
+            out[name] = _moment_table(x, probs, C)
+    kept = 0
+    for name, key in (("w", "w_mcmc"), ("yhat", "yhat_mcmc")):
+        x = _draws_first(fit, key, C)
+        if x.size:
+            out[name] = _moment_table(x, probs, C)
+            kept = max(kept, x.shape[0] * (C if C > 1 else 1))
+        elif f"{name}_mean" in fit:
+            # summary-collection run: device-accumulated moments (no draws,
+            # hence no quantiles unless settings["summary_draws"] kept some)
+            out[name] = {
+                "mean": np.asarray(fit[f"{name}_mean"], dtype=np.float64),
+                "sd": np.sqrt(np.maximum(
+                    np.asarray(fit[f"{name}_var"], dtype=np.float64), 0.0)),
+            }
+            kept = max(kept, int(np.max(fit.get("summary_count", 0))))
+    th = _draws_first(fit, "theta_mcmc", C)
+    if th.size:
+        kept = max(kept, th.shape[0] * (C if C > 1 else 1))
+    out["n_draws"] = kept
+    return out
+
+
 def find_nan(x):
     """Row indices with any non-finite entry (reference: src/find_nan.cpp)."""
     x = np.asarray(x)

@@ -196,3 +196,64 @@ def test_predict_new_exact_conditional_single_block():
     assert np.all(np.abs(emp_mean - mean_true) < 5 * se + 1e-8), (
         emp_mean, mean_true)
     np.testing.assert_allclose(emp_var, var_true, rtol=0.35, atol=1e-8)
+
+
+def test_predict_new_bivariate_limited_tree():
+    """Multivariate + limited-tree post-fit prediction: misaligned bivariate
+    AG10 data with NON-contiguous mv labels (3, 7), fit with limited_tree=
+    True.  Gate: the post-fit path at held-out locations agrees with the
+    in-fit NA-row prediction law at the same locations (means within the
+    joint MC envelope) and beats the data scale -- pins the mv-label
+    mapping and the limited-tree rebuild inside spamtree_predict."""
+    from test_covariance import np_ag10
+
+    rng = np.random.default_rng(21)
+    n0, n1 = 210, 190
+    coords = np.vstack([rng.uniform(size=(n0, 2)), rng.uniform(size=(n1, 2))])
+    mv0 = np.concatenate([np.zeros(n0, np.int64), np.ones(n1, np.int64)])
+    n = n0 + n1
+    ai1, ai2 = np.array([1.2, 0.9]), np.array([0.4, 0.5])
+    phi_i, c, d = np.array([5.0, 7.0]), 5.0, 1.0
+    Dmat = np.array([[0.0, d], [d, 0.0]])
+    CC = np_ag10(coords, mv0, coords, mv0, ai1, ai2, phi_i, np.array([c]),
+                 Dmat)
+    w_true = np.linalg.cholesky(CC + 1e-9 * np.eye(n)) @ rng.normal(size=n)
+    beta_true = np.array([[1.0, -0.4], [-0.5, 0.8]])  # (p, q)
+    X = rng.normal(size=(n, 2))
+    tausq = np.array([0.09, 0.16])
+    y_full = (np.sum(X * beta_true[:, mv0].T, axis=1) + w_true
+              + np.sqrt(tausq[mv0]) * rng.normal(size=n))
+    mv = np.where(mv0 == 0, 3, 7)  # labels need not be 0..q-1
+    held = rng.uniform(size=n) < 0.12
+
+    kw = dict(cell_size=16, K=2, seed=6, dtype=jnp.float64,
+              limited_tree=True, mv_id=None)
+    mcmc = dict(keep=300, burn=250, thin=1)
+
+    # (a) in-fit path: held rows ride along as NA
+    y_na = np.where(held, np.nan, y_full)
+    fa = spamtree(y_na, X, coords, mcmc=mcmc, **dict(kw, mv_id=mv))
+    pos = np.flatnonzero(held[fa["order"]])
+    ya = fa["yhat_mcmc"][:, pos][:, np.argsort(fa["order"][pos])]
+
+    # (b) post-fit path: held rows withheld entirely
+    obs = ~held
+    fb = spamtree(y_full[obs], X[obs], coords[obs], mcmc=mcmc,
+                  **dict(kw, mv_id=mv[obs]))
+    pred = spamtree_predict(
+        fb, y_full[obs], X[obs], coords[obs], coords_new=coords[held],
+        x_new=X[held], mv_id=mv[obs], mv_id_new=mv[held], seed=2,
+    )
+    yb = pred["yhat_pred"]
+    assert yb.shape == (mcmc["keep"], int(held.sum()))
+
+    sd = np.sqrt(ya.var(0) / 30 + yb.var(0) / 30) + 0.05
+    frac_off = np.mean(np.abs(ya.mean(0) - yb.mean(0)) > 4 * sd)
+    assert frac_off < 0.1, (frac_off,)
+
+    truth = y_full[np.sort(np.flatnonzero(held))]
+    sd_y = y_full.std()
+    rm_a = np.sqrt(np.mean((ya.mean(0) - truth) ** 2))
+    rm_b = np.sqrt(np.mean((yb.mean(0) - truth) ** 2))
+    assert rm_a < 0.7 * sd_y and rm_b < 0.7 * sd_y, (rm_a, rm_b, sd_y)
+    assert abs(rm_a - rm_b) < 0.3 * sd_y
