@@ -572,6 +572,11 @@ def spamtree(
             # interpreter teardown or keep burning CPU after the failure
             tuner_thread.join(timeout=60.0)
     tb["keep_compile_s"] = res.get("compile_time_s", 0.0)
+    # sub-attribution of the compile span (trace/lower vs cache-load-or-
+    # compile vs async delivery wait) -- only the *_s leaf keys above are
+    # summed by bench.py's instrumented-total check, so nest these
+    if res.get("compile_phases"):
+        tb["keep_compile_phases"] = res["compile_phases"]
 
     out = {
         "coords": cs,

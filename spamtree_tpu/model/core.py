@@ -106,19 +106,24 @@ class ModelStatic:
 
         obs = np.isfinite(np.asarray(y, dtype=np.float64))
         y0 = np.where(obs, y, 0.0)
-        self.coords = jnp.asarray(
-            np.vstack([coords, np.zeros((1, coords.shape[1]))]), dtype=dtype
-        )
-        self.mv = jnp.asarray(np.append(mv_id, 0), dtype=jnp.int32)
-        self.y = jnp.asarray(np.append(y0, 0.0), dtype=dtype)
-        self.X = jnp.asarray(X, dtype=dtype)
-        self.obs_mask = jnp.asarray(obs, dtype=dtype)  # (n,)
-        self.mv_onehot_obs = jnp.asarray(
-            (mv_id[:, None] == np.arange(spec.q)[None, :]) & obs[:, None], dtype=dtype
+        # cast in NumPy, put already-typed buffers: jnp.asarray(host, dtype=)
+        # with a dtype CHANGE dispatches a separately-compiled
+        # convert_element_type program per distinct shape (~0.4 s each
+        # through the remote compiler); a dtype-matched put compiles nothing
+        ndt = np.dtype(dtype)
+
+        def _put(a, dt=ndt):
+            return jnp.asarray(np.asarray(a, dtype=dt))
+
+        self.coords = _put(np.vstack([coords, np.zeros((1, coords.shape[1]))]))
+        self.mv = _put(np.append(mv_id, 0), np.int32)
+        self.y = _put(np.append(y0, 0.0))
+        self.X = _put(X)
+        self.obs_mask = _put(obs)  # (n,)
+        self.mv_onehot_obs = _put(
+            (mv_id[:, None] == np.arange(spec.q)[None, :]) & obs[:, None]
         )  # (n, q)
-        self.mv_onehot = jnp.asarray(
-            mv_id[:, None] == np.arange(spec.q)[None, :], dtype=dtype
-        )
+        self.mv_onehot = _put(mv_id[:, None] == np.arange(spec.q)[None, :])
         self.n_obs_by_q = np.asarray(
             [(obs & (mv_id == j)).sum() for j in range(spec.q)], dtype=np.float64
         )
@@ -129,13 +134,13 @@ class ModelStatic:
                 for j in range(spec.q)
             ]
         )
-        self.XtX = jnp.asarray(XtX, dtype=dtype)
+        self.XtX = _put(XtX)
 
         # B-axis chunking: bound peak HBM of the per-level transients (the
         # (B, P, P) propagated-factor gather dominates at deep levels).  A
         # level whose big transient would exceed chunk_bytes is processed in
         # n_chunks sequential slabs; B is padded to a multiple of n_chunks.
-        itemsize = jnp.zeros((), dtype=dtype).dtype.itemsize
+        itemsize = ndt.itemsize
 
         def _n_chunks(plan, factor=1) -> int:
             B, P = plan.rows.shape[0], plan.prows.shape[1]
@@ -246,32 +251,16 @@ class ModelStatic:
             _conv_stage(p, nc, pt)
             for p, nc, pt in zip(pred_buckets, self.pred_chunks, pred_pad_to)
         ]
-        packed = jnp.asarray(np.concatenate(_pack_bufs), dtype=jnp.int32)
-        offs = np.cumsum([0] + [b.size for b in _pack_bufs])
 
-        def _unpack(idx):
-            shape = _pack_meta[idx]
-            return packed[offs[idx] : offs[idx + 1]].reshape(shape)
+        # padded batch size of a staged level, from host metadata (the device
+        # arrays are not materialized until the single unpack program below)
+        def _staged_B(stagedict) -> int:
+            return _pack_meta[stagedict["rows"]][0]
 
-        def _build(stagedict) -> LevelArrays:
-            rows = _unpack(stagedict["rows"])
-            prows = _unpack(stagedict["prows"])
-            return LevelArrays(
-                rows=rows,
-                prows=prows,
-                rmask=rows < n,
-                pmask=prows < n,
-                lp_pos=_unpack(stagedict["lp_pos"]),
-                anc_blocks=_unpack(stagedict["anc_blocks"]),
-                block_ids=_unpack(stagedict["block_ids"]),
-            )
-
-        self.levels = [_build(s) for s in staged]
         self.level_is_ref = [p.is_ref for p in sched.levels]
         self.level_group_c = [getattr(p, "group_c", 1) for p in sched.levels]
         self.level_lp = [p.lp_level for p in sched.levels]
         self.level_segs = [(p.seg_off, p.seg_size) for p in sched.levels]
-        self.pred_arrays = [_build(s) for s in staged_pred] or None
         # which sweep levels must emit a joint factor (used by a later level),
         # and the last level that consumes each factor (for HBM liveness:
         # joint factors at deep levels are the largest transients in the
@@ -313,7 +302,8 @@ class ModelStatic:
         self.anc_pos = {}  # (t_child, a) -> parent position in its level batch
         assign_bytes = 64e6  # above this, route via position-scatter instead
         _assign_np = {}  # staged host-side, shipped in one packed transfer
-        for t, lvlj in enumerate(self.levels):
+        _ancpos_idx = {}  # (t, a) -> staged-buffer index of the position vec
+        for t in range(len(sched.levels)):
             plan = sched.levels[t]
             segs = []
             # padded child anc batch from the HOST staging buffers: pulling
@@ -330,7 +320,7 @@ class ModelStatic:
                 segs.append(tp)
                 par_ids = np.asarray(sched.levels[tp].block_ids)
                 Bc = anc_a.shape[0]
-                Bp = self.levels[tp].rows.shape[0]
+                Bp = _staged_B(staged[tp])
                 # vectorized block-id -> position-in-level lookup; dummy
                 # group-padding blocks (id == n_blocks) must not claim the
                 # sentinel slot, which routes masked children to "dropped"
@@ -343,18 +333,64 @@ class ModelStatic:
                     A[pvec, np.arange(Bc)] = 1.0
                     _assign_np[(t, a)] = A[:Bp]
                 else:
-                    self.anc_pos[(t, a)] = jnp.asarray(pvec, dtype=jnp.int32)
+                    _ancpos_idx[(t, a)] = _stage(pvec)
             self.seg_level.append(segs)
-        if _assign_np:
-            keys = list(_assign_np)
-            apacked = jnp.asarray(
-                np.concatenate([_assign_np[k].ravel() for k in keys]), dtype=dtype
-            )
-            aoff = np.cumsum([0] + [_assign_np[k].size for k in keys])
-            for i, k in enumerate(keys):
-                self.assign[k] = apacked[aoff[i] : aoff[i + 1]].reshape(
-                    _assign_np[k].shape
+
+        # Materialize EVERY static device leaf (index arrays, masks,
+        # assignment matrices, scatter position vectors) through exactly one
+        # host->device transfer per packed buffer and ONE jitted program.
+        # Building them leaf-by-leaf with eager slice/reshape/compare ops
+        # dispatched ~96 separately-compiled mini-programs at ~0.4 s each
+        # through the remote compiler -- the whole of the 42 s "staging" cost
+        # at n=1e5 was those compiles, not the 17 MB of actual data.
+        packed_np = np.concatenate(_pack_bufs)
+        offs = np.cumsum([0] + [b.size for b in _pack_bufs])
+        akeys = sorted(_assign_np)
+        if akeys:
+            apacked_np = np.concatenate(
+                [_assign_np[k].ravel() for k in akeys]
+            ).astype(np.dtype(dtype))
+            aoff = np.cumsum([0] + [_assign_np[k].size for k in akeys])
+            ashapes = [_assign_np[k].shape for k in akeys]
+        else:
+            apacked_np = np.zeros((0,), dtype=np.dtype(dtype))
+            aoff, ashapes = [0], []
+
+        def _materialize(packed, apacked):
+            def unp(idx):
+                a = packed[int(offs[idx]) : int(offs[idx + 1])]
+                return a.reshape(_pack_meta[idx])
+
+            def build(sd) -> LevelArrays:
+                rows = unp(sd["rows"])
+                prows = unp(sd["prows"])
+                return LevelArrays(
+                    rows=rows,
+                    prows=prows,
+                    rmask=rows < n,
+                    pmask=prows < n,
+                    lp_pos=unp(sd["lp_pos"]),
+                    anc_blocks=unp(sd["anc_blocks"]),
+                    block_ids=unp(sd["block_ids"]),
                 )
+
+            return (
+                tuple(build(s) for s in staged),
+                tuple(build(s) for s in staged_pred),
+                {k: unp(i) for k, i in _ancpos_idx.items()},
+                {
+                    k: apacked[int(aoff[i]) : int(aoff[i + 1])].reshape(ashapes[i])
+                    for i, k in enumerate(akeys)
+                },
+            )
+
+        levels, preds, ancpos, assigns = jax.jit(_materialize)(
+            jnp.asarray(packed_np, dtype=jnp.int32), apacked_np
+        )
+        self.levels = list(levels)
+        self.pred_arrays = list(preds) or None
+        self.anc_pos.update(ancpos)
+        self.assign.update(assigns)
 
         # total device bytes of the model arrays: used to decide whether the
         # samplers may close over the model (baking every array into the

@@ -826,11 +826,15 @@ def run_mcmc(
     keep_compiled = None
     keep_chunk_flops = keep_chunk_bytes = 0.0
     compile_s = 0.0
+    compile_phases = {}
     if precompile:
         # AOT-compile the single program so mcmc_time measures sampling
         t_c = time.time()
         dk = _keys_chunk(jax.random.PRNGKey(0))  # mesh-replicated when sharded
-        keep_exec = _lower_keep(ms, carry, (dk, flags_keep)).compile()
+        lowered = _lower_keep(ms, carry, (dk, flags_keep))
+        t_l = time.time()
+        keep_exec = lowered.compile()
+        t_x = time.time()
         keep_compiled = _wrap(keep_exec)
         # cost_analysis blocks until the remote compile service actually
         # delivers the binary (.compile() above can return an async handle),
@@ -838,8 +842,17 @@ def run_mcmc(
         # run books minutes of compile wait as "uninstrumented" setup
         keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
         compile_s = time.time() - t_c
+        # attribute the span: trace+lower (host Python/MLIR, scales with
+        # const_model literal size), the .compile() call (cache hash +
+        # cache-entry load or remote compile dispatch), and the
+        # cost_analysis wait (async remote-compile delivery)
+        compile_phases = dict(
+            lower_s=round(t_l - t_c, 2),
+            backend_compile_s=round(t_x - t_l, 2),
+            cost_wait_s=round(compile_s - (t_x - t_c), 2),
+        )
         if verbose:
-            print(f"[compile] {compile_s:.1f}s")
+            print(f"[compile] {compile_s:.1f}s {compile_phases}")
 
     if pre_burn_hook is not None:
         state = pre_burn_hook(state)
@@ -937,6 +950,7 @@ def run_mcmc(
         _summary_result(res, carry[1], (0, n))
     res["burn_actual"] = burn_actual
     res["compile_time_s"] = round(compile_s, 2)
+    res["compile_phases"] = compile_phases
     res["mcmc_time"] = time.time() - t0
     res["paramsd"] = np.asarray(state.ram.paramsd)
     res["accept_ratio"] = float(state.ram.accept_count) / max(
@@ -1090,18 +1104,27 @@ def run_mcmc_chains(
     keep_compiled = None
     keep_chunk_flops = keep_chunk_bytes = 0.0
     compile_s = 0.0
+    compile_phases = {}
     if precompile:
         t_c = time.time()
         ck = jnp.asarray(np.asarray(states.key))
         _, dk2 = _next_keys_keep(ck, mc)
-        keep_exec = _lower_keep(ms, carry, (_shard_keys(dk2), flags_keep)).compile()
+        lowered = _lower_keep(ms, carry, (_shard_keys(dk2), flags_keep))
+        t_l = time.time()
+        keep_exec = lowered.compile()
+        t_x = time.time()
         keep_compiled = _wrap(keep_exec)
         # inside the timed span: cost_analysis blocks on the async remote
         # compile (see run_mcmc)
         keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
         compile_s = time.time() - t_c
+        compile_phases = dict(
+            lower_s=round(t_l - t_c, 2),
+            backend_compile_s=round(t_x - t_l, 2),
+            cost_wait_s=round(compile_s - (t_x - t_c), 2),
+        )
         if verbose:
-            print(f"[compile] {compile_s:.1f}s")
+            print(f"[compile] {compile_s:.1f}s {compile_phases}")
 
     if pre_burn_hook is not None:
         states = pre_burn_hook(states)
@@ -1191,6 +1214,7 @@ def run_mcmc_chains(
         _summary_result(res, carry[1], (0, C, n))
     res["burn_actual"] = burn_actual
     res["compile_time_s"] = round(compile_s, 2)
+    res["compile_phases"] = compile_phases
     res["mcmc_time"] = time.time() - t0
     res["paramsd"] = np.asarray(states.ram.paramsd)
     res["accept_ratio"] = float(np.sum(np.asarray(states.ram.accept_count))) / max(
