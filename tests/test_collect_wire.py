@@ -152,12 +152,19 @@ def test_wire_f16_within_precision():
 def test_burn_rounds_up_to_chunks():
     """Burn runs through the keep program in whole chunks (ONE compiled XLA
     program per run); the actual burn count is surfaced as burn_actual."""
-    r = spamtree(*_data(n=200), mcmc=dict(keep=20, burn=10, thin=1), **KW)
+    r = spamtree(*_data(n=200), mcmc=dict(keep=20, burn=10, thin=1),
+                 precompile=True, **KW)
     assert r["burn_actual"] == 20  # rounded up to one 20-sample chunk
     assert r["w_mcmc"].shape[0] == 20
     # lazy path reports the CPU tuner; eager path the fused device program
     tb = r["setup_breakdown"]
     assert "cpu_tuner_s" in tb or "prepare_compile_s" in tb, tb
+    # precompile attributes its span: trace/lower vs cache-load-or-compile
+    # vs the async remote-delivery wait (bench setup_breakdown sub-dict)
+    ph = tb["keep_compile_phases"]
+    assert set(ph) == {"lower_s", "backend_compile_s", "cost_wait_s"}
+    assert all(v >= 0.0 for v in ph.values())
+    assert sum(ph.values()) <= tb["keep_compile_s"] + 0.05
 
 
 def test_summary_resume_continues_moments(tmp_path):
