@@ -825,6 +825,7 @@ def spamtree_predict(
 
     # ms passes as a pytree ARGUMENT (closed-over device arrays would be
     # inlined as O(n) program constants; see ModelStatic's pytree note)
+    ms.materialize_device()
     @jax.jit
     def _chunk(ms_, thetas, ws, keys):
         def body(_, args):

@@ -112,6 +112,11 @@ class ModelStatic:
         # through the remote compiler); a dtype-matched put compiles nothing
         ndt = np.dtype(dtype)
 
+        # the global row-indexed arrays go straight to device (dtype-matched
+        # puts compile nothing): the chunked level paths index them with
+        # traced slab indices, which numpy constants cannot support.  The
+        # far larger derived leaves (levels/assign/anc_pos) are staged
+        # host-side below and only materialized on demand.
         def _put(a, dt=ndt):
             return jnp.asarray(np.asarray(a, dtype=dt))
 
@@ -336,13 +341,19 @@ class ModelStatic:
                     _ancpos_idx[(t, a)] = _stage(pvec)
             self.seg_level.append(segs)
 
-        # Materialize EVERY static device leaf (index arrays, masks,
-        # assignment matrices, scatter position vectors) through exactly one
-        # host->device transfer per packed buffer and ONE jitted program.
-        # Building them leaf-by-leaf with eager slice/reshape/compare ops
-        # dispatched ~96 separately-compiled mini-programs at ~0.4 s each
-        # through the remote compiler -- the whole of the 42 s "staging" cost
-        # at n=1e5 was those compiles, not the 17 MB of actual data.
+        # Stage EVERY model leaf (index arrays, masks, assignment matrices,
+        # scatter position vectors) HOST-SIDE as numpy views into two packed
+        # buffers.  Device materialization is deferred to materialize_device:
+        # const-model runs (the samplers close over ms) never need it -- the
+        # leaves trace as literal constants -- which removes the
+        # materializer's remote compile (~10-60 s cold) from their setup
+        # entirely.  Argument-mode and sharded runs materialize through
+        # exactly one host->device transfer per packed buffer and ONE jitted
+        # unpack program; building leaf-by-leaf with eager slice/reshape/
+        # compare ops would dispatch ~96 separately-compiled mini-programs at
+        # ~0.4 s each through the remote compiler (the whole of the 42 s
+        # round-2 "staging" cost at n=1e5 was those compiles, not the 17 MB
+        # of actual data).
         packed_np = np.concatenate(_pack_bufs)
         offs = np.cumsum([0] + [b.size for b in _pack_bufs])
         akeys = sorted(_assign_np)
@@ -384,13 +395,31 @@ class ModelStatic:
                 },
             )
 
-        levels, preds, ancpos, assigns = jax.jit(_materialize)(
-            jnp.asarray(packed_np, dtype=jnp.int32), apacked_np
+        def _unp_host(idx):
+            a = packed_np[int(offs[idx]) : int(offs[idx + 1])]
+            return a.reshape(_pack_meta[idx])
+
+        def _build_host(sd) -> LevelArrays:
+            rows = _unp_host(sd["rows"])
+            prows = _unp_host(sd["prows"])
+            return LevelArrays(
+                rows=rows,
+                prows=prows,
+                rmask=rows < n,
+                pmask=prows < n,
+                lp_pos=_unp_host(sd["lp_pos"]),
+                anc_blocks=_unp_host(sd["anc_blocks"]),
+                block_ids=_unp_host(sd["block_ids"]),
+            )
+
+        self.levels = [_build_host(s) for s in staged]
+        self.pred_arrays = [_build_host(s) for s in staged_pred] or None
+        self.anc_pos.update({k: _unp_host(i) for k, i in _ancpos_idx.items()})
+        self.assign.update(
+            {k: _assign_np[k].astype(np.dtype(dtype)) for k in akeys}
         )
-        self.levels = list(levels)
-        self.pred_arrays = list(preds) or None
-        self.anc_pos.update(ancpos)
-        self.assign.update(assigns)
+        self._host_staged = True
+        self._stage = (packed_np, apacked_np, _materialize)
 
         # total device bytes of the model arrays: used to decide whether the
         # samplers may close over the model (baking every array into the
@@ -403,6 +432,32 @@ class ModelStatic:
             for a in jax.tree.leaves(leaves) if hasattr(a, "size")
         ))
 
+
+    def materialize_device(self) -> "ModelStatic":
+        """Ship the host staging buffers to device: one bulk transfer per
+        packed buffer + ONE jitted unpack program for the derived leaves,
+        plus dtype-matched puts (which compile nothing) for the global
+        row-indexed arrays.  Required before ms is passed as a jit ARGUMENT
+        (argument-mode sampling, sharding, post-fit prediction) -- numpy
+        leaves would otherwise be transferred one put at a time, which
+        dominated setup at n ~ 1e6 through the high-overhead device link.
+        Idempotent; const-model runs never call it."""
+        if not getattr(self, "_host_staged", False):
+            return self
+        packed_np, apacked_np, _materialize = self._stage
+        levels, preds, ancpos, assigns = jax.jit(_materialize)(
+            jnp.asarray(packed_np, dtype=jnp.int32), apacked_np
+        )
+        self.levels = list(levels)
+        self.pred_arrays = list(preds) or None
+        self.anc_pos = dict(ancpos)
+        self.assign = dict(assigns)
+        for f in ("coords", "mv", "y", "X", "obs_mask", "mv_onehot_obs",
+                  "mv_onehot", "XtX"):
+            setattr(self, f, jnp.asarray(getattr(self, f)))
+        self._host_staged = False
+        del self._stage
+        return self
 
     # mv id per padded row index, sentinel -> margin 0 (always masked out)
     def tausq_long(self, tausq_inv):

@@ -153,6 +153,9 @@ def init_state(
             beta_h.astype(dt), np.full((q,), 1.0 / start_tausq, dt),
             st.astype(dt), sd.astype(dt),
         )
+    # the eager init sweep takes ms as a jit ARGUMENT; host-staged leaves
+    # must be shipped first (one packed transfer, not one put per leaf)
+    ms.materialize_device()
     theta = jnp.asarray(start_theta, dtype=ms.dtype)
     beta = jnp.asarray(beta_h, dtype=ms.dtype)
     tausq_inv = jnp.full((q,), 1.0 / start_tausq, dtype=ms.dtype)
@@ -750,6 +753,10 @@ def run_mcmc(
             mesh is None
             and getattr(ms, "approx_device_bytes", float("inf")) <= limit
         )
+    if not const_model:
+        # argument mode passes ms's leaves to the program every dispatch;
+        # they must live on device (no-op when already materialized/sharded)
+        ms.materialize_device()
 
     def _keep_body(m, carry, xs):
         st = make_step(m, bounds, cfg)
@@ -1024,6 +1031,8 @@ def run_mcmc_chains(
             mesh is None
             and getattr(ms, "approx_device_bytes", float("inf")) <= limit
         )
+    if not const_model:
+        ms.materialize_device()  # see run_mcmc
 
     def _keep_body(m, carry, xs):
         st = make_step(m, bounds, cfg)

@@ -83,6 +83,7 @@ def prepare_chain(
     ``timings`` (optional dict) receives ``prepare_compile_s`` /
     ``prepare_run_s``.
     """
+    ms.materialize_device()  # _prep below takes ms as a jit argument
     nt = len(theta0)
     dt = ms.dtype
     bnds = jnp.asarray(bounds, dtype=dt)

@@ -38,6 +38,9 @@ def make_mesh(n_chains: int = 1, n_blocks_shards: int | None = None,
 
 def shard_model(ms: ModelStatic, mesh: Mesh) -> ModelStatic:
     """Place level batches block-sharded and global arrays replicated."""
+    # host-staged models ship in one packed transfer first; the resharding
+    # below is then device->device instead of one slow host put per leaf
+    ms.materialize_device()
     blk = NamedSharding(mesh, P("blocks"))
     rep = NamedSharding(mesh, P())
 

@@ -73,6 +73,7 @@ def load_moments(path: str, ms: ModelStatic):
 
 def load_state(path: str, ms: ModelStatic) -> MCMCState:
     """Load a single-chain or stacked multi-chain (leading C axis) state."""
+    ms.materialize_device()  # sweep_fn below takes ms as a jit argument
     z = np.load(path)
     dt = ms.dtype
     theta = jnp.asarray(z["theta"], dtype=dt)

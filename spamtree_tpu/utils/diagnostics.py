@@ -28,6 +28,7 @@ from spamtree_tpu.model.core import (
 
 def time_phases(ms: ModelStatic, state, iters: int = 20) -> dict:
     """Time each MCMC phase separately (compile excluded). Returns ms/phase."""
+    ms.materialize_device()  # every phase fn below takes ms as a jit argument
     key = jax.random.PRNGKey(0)
     Vi = 0.01 * jnp.eye(ms.p, dtype=ms.dtype)
     Vim = jnp.zeros((ms.p,), dtype=ms.dtype)
