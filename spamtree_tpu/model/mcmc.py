@@ -32,6 +32,7 @@ from spamtree_tpu.model.core import (
     sweep,
 )
 from spamtree_tpu.model.ram import RAMState, ram_adapt, ram_init
+from spamtree_tpu.utils.execcache import cached_compile
 from spamtree_tpu.model.transforms import calc_jacobian, clamp_bounds, transf_back, transf_fwd
 
 
@@ -678,8 +679,10 @@ def _chunk_cost(ex):
     bandwidth-bound, so bytes/s vs the measured HBM envelope is the
     meaningful utilization number; see examples/microbench_ops.py)."""
     try:
-        ca = ex.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        ca = getattr(ex, "_spamtree_cached_cost", None)  # exec-cache hit
+        if ca is None:
+            ca = ex.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         return (float(ca.get("flops", 0.0)),
                 float(ca.get("bytes accessed", 0.0)))
     except Exception:
@@ -840,7 +843,8 @@ def run_mcmc(
         dk = _keys_chunk(jax.random.PRNGKey(0))  # mesh-replicated when sharded
         lowered = _lower_keep(ms, carry, (dk, flags_keep))
         t_l = time.time()
-        keep_exec = lowered.compile()
+        compile_phases = {}
+        keep_exec = cached_compile(lowered, compile_phases)
         t_x = time.time()
         keep_compiled = _wrap(keep_exec)
         # cost_analysis blocks until the remote compile service actually
@@ -850,10 +854,11 @@ def run_mcmc(
         keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
         compile_s = time.time() - t_c
         # attribute the span: trace+lower (host Python/MLIR, scales with
-        # const_model literal size), the .compile() call (cache hash +
-        # cache-entry load or remote compile dispatch), and the
-        # cost_analysis wait (async remote-compile delivery)
-        compile_phases = dict(
+        # const_model literal size), the cached_compile call (exec-cache
+        # lookup, then cache hash + cache-entry load or remote compile
+        # dispatch on a miss), and the cost_analysis wait (async
+        # remote-compile delivery; ~0 on an exec-cache hit)
+        compile_phases.update(
             lower_s=round(t_l - t_c, 2),
             backend_compile_s=round(t_x - t_l, 2),
             cost_wait_s=round(compile_s - (t_x - t_c), 2),
@@ -1120,14 +1125,15 @@ def run_mcmc_chains(
         _, dk2 = _next_keys_keep(ck, mc)
         lowered = _lower_keep(ms, carry, (_shard_keys(dk2), flags_keep))
         t_l = time.time()
-        keep_exec = lowered.compile()
+        compile_phases = {}
+        keep_exec = cached_compile(lowered, compile_phases)
         t_x = time.time()
         keep_compiled = _wrap(keep_exec)
         # inside the timed span: cost_analysis blocks on the async remote
         # compile (see run_mcmc)
         keep_chunk_flops, keep_chunk_bytes = _chunk_cost(keep_exec)
         compile_s = time.time() - t_c
-        compile_phases = dict(
+        compile_phases.update(
             lower_s=round(t_l - t_c, 2),
             backend_compile_s=round(t_x - t_l, 2),
             cost_wait_s=round(compile_s - (t_x - t_c), 2),

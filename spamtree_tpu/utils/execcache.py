@@ -1,0 +1,137 @@
+"""Local on-disk cache of compiled XLA executables.
+
+The persistent XLA compilation cache (spamtree_tpu/__init__.py) already
+avoids recompiles, but on the remote-compile backend a warm "hit" still
+pays the relay round trip: the `.compile()` call ships the module out and
+loads the cache entry back through the same transport as a cold compile's
+binary, measured 12-36 s for the keep-scan program at n=1e5
+(BENCH_RESULTS.md).  This layer serializes the *loaded executable* itself
+(`jax.experimental.serialize_executable`) to local disk, keyed by a hash
+of the lowered StableHLO bytecode plus the backend identity; a hit
+deserializes locally and skips the backend compile / remote cache load
+entirely.
+
+Keying on the module bytecode makes the key exact: any change to shapes,
+static config, donation/aliasing, literal constants (const-model runs
+embed the model arrays), jax lowering, or flag-visible semantics changes
+the bytecode.  The backend identity (platform, device kind, device count,
+jax version, XLA_FLAGS) is appended because the same module compiles to
+different binaries on different targets.
+
+Opt-out with SPAMTREE_NO_EXEC_CACHE=1 (the cache directory defaults to
+`exec/` under the compilation-cache dir).  Entries are pickles of
+``(payload, in_tree, out_tree, cost)``; any failure to read, deserialize,
+or load falls back to a normal compile and (best-effort) rewrites the
+entry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+
+import jax
+
+__all__ = ["cached_compile"]
+
+
+def _cache_dir() -> str | None:
+    if os.environ.get("SPAMTREE_NO_EXEC_CACHE"):
+        return None
+    if jax.devices()[0].platform == "cpu" and not os.environ.get(
+        "SPAMTREE_EXEC_CACHE_FORCE"
+    ):
+        # XLA:CPU AOT deserialization is host-feature-keyed and UNSAFE on
+        # this image: a deserialized executable dispatch-fails with
+        # "Function iota_convert_fusion not found" (and XLA warns about
+        # SIGILL-class machine-feature mismatches) even on the same host.
+        # The remote-TPU backend -- where the cache actually pays -- is
+        # unaffected.
+        return None
+    base = os.environ.get(
+        "SPAMTREE_COMPILE_CACHE", os.path.expanduser("~/.cache/spamtree_tpu_xla")
+    )
+    return os.path.join(base, "exec")
+
+
+def _backend_tag() -> bytes:
+    dev = jax.devices()[0]
+    return "|".join(
+        [
+            jax.__version__,
+            dev.platform,
+            getattr(dev, "device_kind", "?"),
+            str(jax.device_count()),
+            os.environ.get("XLA_FLAGS", ""),
+        ]
+    ).encode()
+
+
+def _key(lowered) -> str:
+    # hash the module TEXT: the MLIR bytecode serialization is not
+    # deterministic across repeated lowerings (measured: same-length,
+    # differing bytes for identical programs), while as_text() is stable
+    h = hashlib.sha256()
+    h.update(lowered.as_text().encode())
+    h.update(_backend_tag())
+    return h.hexdigest()
+
+
+def cached_compile(lowered, phases: dict | None = None):
+    """``lowered.compile()`` with a local serialized-executable cache.
+
+    Returns the loaded executable; ``phases`` (optional dict) receives
+    ``exec_cache`` ("hit" / "miss" / "off" / "err:<stage>") and, on a hit,
+    skips the backend compile entirely.
+    """
+    d = _cache_dir()
+    if d is None:
+        if phases is not None:
+            phases["exec_cache"] = "off"
+        return lowered.compile()
+
+    from jax.experimental import serialize_executable as se
+
+    tag = "miss"
+    try:
+        path = os.path.join(d, _key(lowered) + ".pkl")
+    except Exception:
+        if phases is not None:
+            phases["exec_cache"] = "err:key"
+        return lowered.compile()
+
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree, cost = pickle.load(f)
+            ex = se.deserialize_and_load(payload, in_tree, out_tree)
+            ex._spamtree_cached_cost = cost
+            if phases is not None:
+                phases["exec_cache"] = "hit"
+            return ex
+        except Exception:
+            tag = "err:load"  # corrupt/stale entry: recompile and rewrite
+
+    ex = lowered.compile()
+    try:
+        payload, in_tree, out_tree = se.serialize(ex)
+        # cost_analysis is computed at save time: it blocks on the remote
+        # delivery anyway here, and a deserialized executable on some
+        # backends cannot re-derive it
+        try:
+            ca = ex.cost_analysis()
+            ca = dict(ca[0]) if isinstance(ca, (list, tuple)) else dict(ca)
+        except Exception:
+            ca = {}
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree, ca), f)
+        os.replace(tmp, path)  # atomic: concurrent writers race benignly
+    except Exception:
+        tag = "err:save" if tag == "miss" else tag
+    if phases is not None:
+        phases["exec_cache"] = tag
+    return ex
