@@ -445,9 +445,15 @@ class ModelStatic:
         if not getattr(self, "_host_staged", False):
             return self
         packed_np, apacked_np, _materialize = self._stage
-        levels, preds, ancpos, assigns = jax.jit(_materialize)(
-            jnp.asarray(packed_np, dtype=jnp.int32), apacked_np
+        from spamtree_tpu.utils.execcache import cached_compile
+
+        packed_dev = jnp.asarray(packed_np, dtype=jnp.int32)
+        # the unpack program is O(levels); its remote compile rides the
+        # serialized-executable cache like the samplers' programs
+        unpack = cached_compile(
+            jax.jit(_materialize).lower(packed_dev, apacked_np)
         )
+        levels, preds, ancpos, assigns = unpack(packed_dev, apacked_np)
         self.levels = list(levels)
         self.pred_arrays = list(preds) or None
         self.anc_pos = dict(ancpos)

@@ -177,9 +177,9 @@ def init_state(
             ld, pd, lg, okk = sweep(m, th, ww)
             return ld, pd, lg, okk, msg_gram(m, ld)
 
-        leveldata, pred_data, logdet, ok, gram = jax.jit(_init_sweep)(
-            ms, theta, w
-        )
+        leveldata, pred_data, logdet, ok, gram = cached_compile(
+            jax.jit(_init_sweep).lower(ms, theta, w)
+        )(ms, theta, w)
     if not bool(ok):
         # mirror load_state: a start that fails Cholesky would otherwise
         # produce an all-NaN chain without tripping the finite-theta guard
@@ -210,8 +210,7 @@ def _lazy_builder(ms: ModelStatic, nt: int):
     )
     g_s = jax.eval_shape(msg_gram, ms, ld_s)
 
-    @jax.jit
-    def build(X, mv_onehot, seed, w, beta, tausq_inv, theta, sd):
+    def _build_impl(X, mv_onehot, seed, w, beta, tausq_inv, theta, sd):
         XB = jnp.append(
             jnp.sum((X @ beta) * mv_onehot, axis=1),
             jnp.zeros((1,), dtype=ms.dtype),
@@ -232,6 +231,16 @@ def _lazy_builder(ms: ModelStatic, nt: int):
             gram=zero(g_s),
         )
 
+    def build(*args):
+        # the fill program is a pure function of shapes, so its remote
+        # compile (measured ~175 s cold even at n=4000) rides the
+        # serialized-executable cache across processes
+        ex = cache.get(("exec", nt))
+        if ex is None:
+            ex = cached_compile(jax.jit(_build_impl).lower(*args))
+            cache[("exec", nt)] = ex
+        return ex(*args)
+
     cache[nt] = build
     return build
 
@@ -247,7 +256,6 @@ def stack_chain_states(state: MCMCState, seeds) -> MCMCState:
     # Gram blocks in place inside gibbs_w (state.gram == () selects that)
     state = state._replace(gram=())
 
-    @jax.jit
     def _stack(st, sds):
         C = sds.shape[0]
         out = jax.tree.map(
@@ -255,7 +263,7 @@ def stack_chain_states(state: MCMCState, seeds) -> MCMCState:
         )
         return out._replace(key=jax.vmap(jax.random.PRNGKey)(sds))
 
-    return _stack(state, seeds)
+    return cached_compile(jax.jit(_stack).lower(state, seeds))(state, seeds)
 
 
 def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):

@@ -122,15 +122,21 @@ def prepare_chain(
         lls = jax.lax.map(one, zs)
         return ld, pd, logdet, ok, gram, lls
 
+    from spamtree_tpu.utils.execcache import cached_compile
+
     jitted = jax.jit(_prep)
     t0 = time.time()
-    compiled = jitted.lower(ms, theta0j, zs, jax.random.PRNGKey(seed)).compile()
+    phases = {}
+    compiled = cached_compile(
+        jitted.lower(ms, theta0j, zs, jax.random.PRNGKey(seed)), phases
+    )
     t1 = time.time()
     out = compiled(ms, theta0j, zs, jax.random.PRNGKey(seed))
     out = jax.block_until_ready(out)
     t2 = time.time()
     if timings is not None:
         timings["prepare_compile_s"] = round(t1 - t0, 2)
+        timings["prepare_exec_cache"] = phases.get("exec_cache", "off")
         timings["prepare_run_s"] = round(t2 - t1, 2)
     if do_curvature:
         ld, pd, logdet, ok, gram, lls = out

@@ -80,7 +80,6 @@ def load_state(path: str, ms: ModelStatic) -> MCMCState:
     w = jnp.asarray(z["w"], dtype=dt)
     stacked = theta.ndim == 2
 
-    @jax.jit
     def sweep_fn(m, t, ww):
         if stacked:
             # chains carry no gram (see mcmc.stack_chain_states)
@@ -88,7 +87,12 @@ def load_state(path: str, ms: ModelStatic) -> MCMCState:
         ld, pd, lg, okk = sweep(m, t, ww)
         return ld, pd, lg, okk, msg_gram(m, ld)
 
-    leveldata, pred_data, logdet, ok, gram = sweep_fn(ms, theta, w)
+    from spamtree_tpu.utils.execcache import cached_compile
+
+    # the rebuild sweep rides the serialized-executable cache: a resumed
+    # run in a fresh process would otherwise pay a full remote compile
+    rebuild = cached_compile(jax.jit(sweep_fn).lower(ms, theta, w))
+    leveldata, pred_data, logdet, ok, gram = rebuild(ms, theta, w)
     if not bool(jnp.all(ok)):
         raise RuntimeError("checkpointed theta fails Cholesky on rebuild")
     ram = RAMState(
