@@ -23,6 +23,21 @@ Opt-out with SPAMTREE_NO_EXEC_CACHE=1 (the cache directory defaults to
 ``(payload, in_tree, out_tree, cost)``; any failure to read, deserialize,
 or load falls back to a normal compile and (best-effort) rewrites the
 entry.
+
+Entries embed the program's literal constants, so const-model sampling
+programs weigh ~0.5 MB/1k locations (measured ~50 MB at n=4000, ~600 MB
+at n=1e5) and every source change that perturbs the lowered module
+orphans the old entry under a dead key.  Two guards follow:
+
+* **Size gate** (SPAMTREE_EXEC_CACHE_MAX_MB, default 256): a hit must
+  ship the serialized binary back through the ~20 MB/s relay, so beyond
+  a few hundred MB it LOSES to the persistent-cache compile path
+  (measured at n=1e5: 599 MB entry, 44 s "hit" vs the 12-36 s
+  persistent-cache load; at n=4000: 50 MB entry, 3-5 s hit vs 12-31 s).
+  Oversized payloads are not written, and oversized on-disk entries are
+  removed and treated as misses.
+* **LRU budget** (SPAMTREE_EXEC_CACHE_GB, default 20): hits touch the
+  entry's mtime and each save evicts oldest-mtime entries over budget.
 """
 
 from __future__ import annotations
@@ -102,21 +117,38 @@ def cached_compile(lowered, phases: dict | None = None):
             phases["exec_cache"] = "err:key"
         return lowered.compile()
 
+    max_bytes = float(os.environ.get("SPAMTREE_EXEC_CACHE_MAX_MB", "256")) * 1e6
     if os.path.exists(path):
         try:
+            if os.path.getsize(path) > max_bytes:
+                # oversized under the CURRENT threshold (written by a run
+                # with a larger one): the relay transfer would lose to the
+                # persistent-cache path every time -- drop it
+                os.remove(path)
+                raise FileNotFoundError(path)
             with open(path, "rb") as f:
                 payload, in_tree, out_tree, cost = pickle.load(f)
             ex = se.deserialize_and_load(payload, in_tree, out_tree)
             ex._spamtree_cached_cost = cost
+            try:
+                os.utime(path)  # LRU: a hit refreshes the entry's mtime
+            except OSError:
+                pass
             if phases is not None:
                 phases["exec_cache"] = "hit"
             return ex
+        except FileNotFoundError:
+            pass  # stays "miss"; the size gate below skips the rewrite
         except Exception:
             tag = "err:load"  # corrupt/stale entry: recompile and rewrite
 
     ex = lowered.compile()
     try:
         payload, in_tree, out_tree = se.serialize(ex)
+        if len(payload) > max_bytes:
+            if phases is not None:
+                phases["exec_cache"] = "skip:big"
+            return ex
         # cost_analysis is computed at save time: it blocks on the remote
         # delivery anyway here, and a deserialized executable on some
         # backends cannot re-derive it
@@ -130,8 +162,36 @@ def cached_compile(lowered, phases: dict | None = None):
         with os.fdopen(fd, "wb") as f:
             pickle.dump((payload, in_tree, out_tree, ca), f)
         os.replace(tmp, path)  # atomic: concurrent writers race benignly
+        _prune(d, keep=path)
     except Exception:
         tag = "err:save" if tag == "miss" else tag
     if phases is not None:
         phases["exec_cache"] = tag
     return ex
+
+
+def _prune(d: str, keep: str) -> None:
+    """Evict oldest-mtime entries beyond the size budget (never the entry
+    just written).  Best-effort: a concurrently-deleted file is skipped."""
+    budget = float(os.environ.get("SPAMTREE_EXEC_CACHE_GB", "20")) * 1e9
+    entries = []
+    for name in os.listdir(d):
+        if not name.endswith(".pkl"):
+            continue
+        p = os.path.join(d, name)
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        entries.append((st.st_mtime, st.st_size, p))
+    total = sum(e[1] for e in entries)
+    for mtime, size, p in sorted(entries):
+        if total <= budget:
+            break
+        if p == keep:
+            continue
+        try:
+            os.remove(p)
+            total -= size
+        except OSError:
+            pass
