@@ -878,6 +878,15 @@ def run_mcmc(
         state = pre_burn_hook(state)
         carry = (state, carry[1])
 
+    # the init-state program executes asynchronously on the relay; the
+    # caller dispatches it WITHOUT blocking (api.spamtree) so its whole
+    # execution rides the compile wait above, exactly like the CPU tuner.
+    # Block here -- after the compile -- so mcmc_time stays clean of init
+    # work; the residual is what the overlap did not cover.
+    t_f = time.time()
+    np.asarray(state.key)
+    init_wait_s = round(time.time() - t_f, 2)
+
     t0 = time.time()
     key = state.key
     rep = _Reporter(t0, verbose)
@@ -971,6 +980,7 @@ def run_mcmc(
     res["burn_actual"] = burn_actual
     res["compile_time_s"] = round(compile_s, 2)
     res["compile_phases"] = compile_phases
+    res["init_wait_s"] = init_wait_s
     res["mcmc_time"] = time.time() - t0
     res["paramsd"] = np.asarray(state.ram.paramsd)
     res["accept_ratio"] = float(state.ram.accept_count) / max(
@@ -1153,6 +1163,12 @@ def run_mcmc_chains(
         states = pre_burn_hook(states)
         carry = (states, carry[1])
 
+    # block on the async init/stack programs AFTER the compile was issued
+    # (see run_mcmc): their relay execution rides the compile wait
+    t_f = time.time()
+    np.asarray(states.key)
+    init_wait_s = round(time.time() - t_f, 2)
+
     def _save(states, chainkeys):
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
@@ -1238,6 +1254,7 @@ def run_mcmc_chains(
     res["burn_actual"] = burn_actual
     res["compile_time_s"] = round(compile_s, 2)
     res["compile_phases"] = compile_phases
+    res["init_wait_s"] = init_wait_s
     res["mcmc_time"] = time.time() - t0
     res["paramsd"] = np.asarray(states.ram.paramsd)
     res["accept_ratio"] = float(np.sum(np.asarray(states.ram.accept_count))) / max(
