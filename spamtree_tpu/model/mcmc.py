@@ -422,11 +422,23 @@ def _chunk_geometry(cfg: MCMCConfig, mesh):
     device call; burn rounds UP to whole chunks; a final keep chunk past
     ``cfg.keep`` has its tail rows' flags masked OFF, so the discarded
     transitions neither predict nor contribute to summary-mode moments
-    (they are truncated from the drained arrays either way)."""
-    mc = min(cfg.chunk, cfg.keep) if cfg.keep > 0 else cfg.chunk
+    (they are truncated from the drained arrays either way).
+
+    The chunk size is BALANCED: ``cfg.chunk`` caps it, but mc is then
+    shrunk to the smallest size covering ``keep`` in the same number of
+    chunks, so the final chunk over-runs by at most n_chunks-1 kept slots
+    total instead of up to mc-1 (keep=500/chunk=200 used to execute 600
+    kept slots' worth of device iterations -- and ship their draw bytes
+    through the ~20 MB/s relay -- for 500 kept; balanced mc=167 executes
+    501)."""
+    if cfg.keep > 0:
+        n_keep_chunks = -(-cfg.keep // min(cfg.chunk, cfg.keep))
+        mc = -(-cfg.keep // n_keep_chunks)
+    else:
+        n_keep_chunks = 0
+        mc = cfg.chunk
     ipc = mc * cfg.thin
     n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
-    n_keep_chunks = int(np.ceil(cfg.keep / mc)) if cfg.keep > 0 else 0
     fk = np.zeros(cfg.thin, dtype=bool)
     fk[-1] = True
     fl = np.broadcast_to(fk, (mc, cfg.thin)).copy()

@@ -64,15 +64,16 @@ def test_summary_moments_match_draws():
 
 def test_summary_mode_chains():
     """Summary accumulators carry a chain axis under the vmapped driver."""
-    mcmc = dict(keep=8, burn=4, thin=1)  # chunk=5: truncated final chunk
+    # chunk=5 -> balanced mc=5, takes (5, 4): truncated final chunk
+    mcmc = dict(keep=9, burn=4, thin=1)
     r = spamtree(*_data(n=200), mcmc=mcmc, n_chains=2,
                  settings=dict(collect="summary", chunk=5,
                                summary_draws=4), **KW)
     n = 200
-    assert r["summary_count"] == 8
+    assert r["summary_count"] == 9
     assert r["w_mean"].shape == (2, n)
-    # quantile subsample carries the chain axis: stride 2 over takes (5, 3)
-    assert r["w_mcmc"].shape == (5, 2, n)
+    # quantile subsample carries the chain axis: stride 3 over takes (5, 4)
+    assert r["w_mcmc"].shape == (4, 2, n)
     assert np.isfinite(r["yhat_mcmc"]).all()
     # multi-chain runs surface convergence diagnostics on the theta draws
     nt = r["theta_mcmc"].shape[-1]
@@ -94,8 +95,9 @@ def test_summary_draws_quantile_subsample():
     rs = spamtree(*_data(), mcmc=mcmc, dtype=jnp.float64,
                   settings=dict(wire_dtype="none", collect="summary",
                                 chunk=10, summary_draws=8), **KW)
-    # stride = ceil(24/8) = 3, applied within each chunk (takes 10, 10, 4)
-    idx = [ci * 10 + j for ci, take in enumerate([10, 10, 4])
+    # chunk=10 -> balanced mc=8 (3 exact chunks); stride = ceil(24/8) = 3,
+    # applied within each chunk (takes 8, 8, 8)
+    idx = [ci * 8 + j for ci, take in enumerate([8, 8, 8])
            for j in range(0, take, 3)]
     assert rs["w_mcmc"].shape == (len(idx), ra["w_mcmc"].shape[1])
     assert np.array_equal(rs["w_mcmc"], ra["w_mcmc"][idx])
