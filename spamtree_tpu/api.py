@@ -476,10 +476,10 @@ def spamtree(
         # geometry (checkpoints land on chunk boundaries; mcmc.run_mcmc);
         # chains advance in lockstep so one counter covers all of them
         resumed_it = int(np.asarray(state0.it).ravel()[0])
-        _mc = min(cfg.chunk, cfg.keep) if cfg.keep > 0 else cfg.chunk
-        _ipc = _mc * cfg.thin
-        _burn_actual = (int(np.ceil(cfg.burn / _ipc)) * _ipc
-                        if cfg.burn > 0 else 0)
+        from spamtree_tpu.model.mcmc import chunk_sizes
+
+        _mc, _ipc, _, _nb = chunk_sizes(cfg)
+        _burn_actual = _nb * _ipc
         if resumed_it < _burn_actual:
             rem_burn, kept_already = _burn_actual - resumed_it, 0
         else:
@@ -506,7 +506,12 @@ def spamtree(
                 f"checkpointing); an exact collect='summary' continuation "
                 f"is impossible -- resume with collect='all' instead"
             )
-        cfg = cfg._replace(burn=rem_burn, keep=cfg.keep - kept_already)
+        # pin the continuation to the original run's chunk size: the
+        # remaining keep would otherwise re-balance to a different mc,
+        # shifting the chunk boundaries (and their RNG splits) off the
+        # uninterrupted run's
+        cfg = cfg._replace(burn=rem_burn, keep=cfg.keep - kept_already,
+                           mc_fixed=_mc)
         if verbose:
             print(f"[resume] iteration {resumed_it}: {kept_already} kept "
                   f"draws already taken, {cfg.burn} burn + "

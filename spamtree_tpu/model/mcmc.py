@@ -96,6 +96,11 @@ class MCMCConfig(NamedTuple):
     # model/priors.py).  None = flat, the reference's effective behavior (it
     # computes calc_prior_logratio but never adds it; spamtree_fit.cpp:239-246)
     theta_prior: object = None
+    # resume only (api.spamtree): pin the chunk size to the ORIGINAL run's
+    # balanced mc so the continuation's chunk boundaries -- and therefore its
+    # per-chunk RNG splits -- reproduce the uninterrupted run's exactly
+    # (re-balancing the REMAINING keep can pick a different mc).  0 = auto.
+    mc_fixed: int = 0
     # MEASUREMENT ONLY: None = real MH decision; 0/1 pins the theta accept
     # branch (still gated by the Cholesky ok flag) so the accept-cond's two
     # paths can be timed separately (examples/bisect_step_blocks.py)
@@ -416,6 +421,27 @@ def _moments_zero(ms: ModelStatic, lead=()) -> Moments:
     return Moments(jnp.zeros((), dtype=ms.dtype), z(), z(), z(), z())
 
 
+def chunk_sizes(cfg: MCMCConfig):
+    """The balanced chunk-geometry numbers (mc, ipc, n_keep_chunks,
+    n_burn_chunks), shared by ``_chunk_geometry`` and by
+    ``api.spamtree``'s resume decomposition -- the latter must reproduce
+    the ORIGINAL run's burn_actual exactly (checkpoints land on its chunk
+    boundaries), so there is exactly one copy of this arithmetic."""
+    if cfg.keep > 0:
+        if cfg.mc_fixed:
+            mc = int(cfg.mc_fixed)
+            n_keep_chunks = -(-cfg.keep // mc)
+        else:
+            n_keep_chunks = -(-cfg.keep // min(cfg.chunk, cfg.keep))
+            mc = -(-cfg.keep // n_keep_chunks)
+    else:
+        n_keep_chunks = 0
+        mc = cfg.chunk
+    ipc = mc * cfg.thin
+    n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
+    return mc, ipc, n_keep_chunks, n_burn_chunks
+
+
 def _chunk_geometry(cfg: MCMCConfig, mesh):
     """Chunk geometry + per-chunk predicting flags, shared by ``run_mcmc``
     and ``run_mcmc_chains``: mc kept samples (= mc*thin iterations) per
@@ -431,14 +457,7 @@ def _chunk_geometry(cfg: MCMCConfig, mesh):
     kept slots' worth of device iterations -- and ship their draw bytes
     through the ~20 MB/s relay -- for 500 kept; balanced mc=167 executes
     501)."""
-    if cfg.keep > 0:
-        n_keep_chunks = -(-cfg.keep // min(cfg.chunk, cfg.keep))
-        mc = -(-cfg.keep // n_keep_chunks)
-    else:
-        n_keep_chunks = 0
-        mc = cfg.chunk
-    ipc = mc * cfg.thin
-    n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
+    mc, ipc, n_keep_chunks, n_burn_chunks = chunk_sizes(cfg)
     fk = np.zeros(cfg.thin, dtype=bool)
     fk[-1] = True
     fl = np.broadcast_to(fk, (mc, cfg.thin)).copy()

@@ -283,6 +283,28 @@ def test_resume_mid_burn_and_chains(tmp_path):
     assert np.array_equal(res2["theta_mcmc"], full2["theta_mcmc"][10:])
 
 
+def test_resume_repins_original_chunk_size(tmp_path):
+    """keep=10/chunk=4 balances to mc=4 (chunks 4, 4, 2-masked); resuming
+    after 4 kept draws leaves 6, which would RE-balance to mc=3 and shift
+    every later chunk boundary -- and with them the per-chunk RNG splits --
+    off the uninterrupted run's.  The resume path must pin the
+    continuation to the original run's mc (cfg.mc_fixed) so the remaining
+    draws stay bit-identical."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    kw = dict(dtype=jnp.float64, seed=31, settings=dict(chunk=4))
+    full = spamtree(y, X, coords, mcmc=dict(keep=10, burn=10), **kw)
+    ck = str(tmp_path / "ck.npz")
+    spamtree(y, X, coords, mcmc=dict(keep=4, burn=10), checkpoint_path=ck,
+             **kw)
+    res = spamtree(y, X, coords, mcmc=dict(keep=10, burn=10),
+                   resume_from=ck, **kw)
+    assert res["resumed_kept_already"] == 4
+    assert np.array_equal(res["w_mcmc"], full["w_mcmc"][4:])
+    # single-chain theta/tausq use the reference's (n_params, keep) layout
+    assert np.array_equal(res["theta_mcmc"], full["theta_mcmc"][:, 4:])
+    assert np.array_equal(res["beta_mcmc"], full["beta_mcmc"][:, 4:])
+
+
 def test_resume_sink_append(tmp_path):
     """A resumed run pointed at the same sink_dir APPENDS to the existing
     sink files (truncating would destroy the interrupted run's draws): the
