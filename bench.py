@@ -101,12 +101,16 @@ CONFIGS = {
             # reference's intended big-n mode; the full-ancestry DAG at depth
             # 9 carries (B, 200, 200) joint factors that exceed single-chip
             # HBM at this n
-            keep=200, burn=300, thin=1, kwargs=dict(limited_tree=True)),
+            # chunk=50: keep=200 in one 200-draw chunk has NO pipelining --
+            # the whole 400 MB f16 draw set drains as a tail after the last
+            # iteration (same-hour A/B: 101.7 s vs 143.1 s mcmc_time)
+            keep=200, burn=300, thin=1, chunk=50,
+            kwargs=dict(limited_tree=True)),
 }
 
 
 def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
-               n_chains=1, verbose=False, collect="all", chunk=200):
+               n_chains=1, verbose=False, collect="all", chunk=None):
     from spamtree_tpu import spamtree
 
     c = CONFIGS[cfg_id]
@@ -114,6 +118,7 @@ def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
     keep = keep or c["keep"]
     burn = burn if burn is not None else c["burn"]
     thin = thin or c["thin"]
+    chunk = chunk or c.get("chunk", 200)
     ybar = np.nanmean(y)
     t_setup = time.time()
     out = spamtree(
@@ -188,8 +193,9 @@ def main():
                     help="independent end-to-end trials; the headline value "
                          "is the MEDIAN it/s (this machine shows up to ~30%% "
                          "run-to-run wall variance, BENCH_RESULTS.md)")
-    ap.add_argument("--chunk", type=int, default=200,
-                    help="kept samples per device->host transfer chunk; "
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="kept samples per device->host transfer chunk "
+                         "(default: per-config, 200 unless noted); "
                          "larger amortizes per-chunk dispatch (~0.2 s each "
                          "through the relay), smaller tightens interrupt "
                          "granularity")
