@@ -455,6 +455,7 @@ def spamtree(
     resumed_it = kept_already = None
     state0 = None
     init_moments = None
+    base_counts = (0, 0)
     if resume_from is not None:
         from spamtree_tpu.utils.checkpoint import load_moments, load_state
 
@@ -472,21 +473,39 @@ def spamtree(
                 f"checkpoint holds {ck_chains} chain(s); "
                 f"n_chains={n_chains} was requested"
             )
-        # decompose the saved iteration counter with the ORIGINAL chunk
-        # geometry (checkpoints land on chunk boundaries; mcmc.run_mcmc);
-        # chains advance in lockstep so one counter covers all of them
         resumed_it = int(np.asarray(state0.it).ravel()[0])
-        from spamtree_tpu.model.mcmc import chunk_sizes
+        from spamtree_tpu.utils.checkpoint import load_counts
 
-        _mc, _ipc, _, _nb = chunk_sizes(cfg)
-        _burn_actual = _nb * _ipc
-        if resumed_it < _burn_actual:
-            rem_burn, kept_already = _burn_actual - resumed_it, 0
+        counts = load_counts(resume_from)
+        if counts is not None:
+            # the checkpoint records the WRITING run's chunk size and its
+            # cumulative (burn_done, kept_done) -- no inference needed.
+            # Re-deriving the geometry from THIS call's cfg is wrong
+            # whenever the two runs' keep values balance to different mc
+            # (chunk_sizes depends on keep): burn_actual would shift and
+            # kept draws would be silently mis-counted.
+            _mc, burn_done, kept_already = counts
+            _ipc = _mc * cfg.thin
+            _burn_target = (int(np.ceil(cfg.burn / _ipc)) * _ipc
+                            if cfg.burn > 0 else 0)
+            rem_burn = max(_burn_target - burn_done, 0)
+            kept_already = min(kept_already, cfg.keep)
         else:
-            rem_burn = 0
-            kept_already = min(
-                (resumed_it - _burn_actual) // cfg.thin, cfg.keep
-            )
+            # pre-counts checkpoint: decompose the iteration counter with
+            # this call's chunk geometry (exact only when both runs' keep
+            # values balance to the same mc -- always true for same-config
+            # resumes); chains advance in lockstep, one counter covers all
+            from spamtree_tpu.model.mcmc import chunk_sizes
+
+            _mc, _ipc, _, _nb = chunk_sizes(cfg)
+            _burn_actual = _nb * _ipc
+            if resumed_it < _burn_actual:
+                rem_burn, kept_already = _burn_actual - resumed_it, 0
+            else:
+                rem_burn = 0
+                kept_already = min(
+                    (resumed_it - _burn_actual) // cfg.thin, cfg.keep
+                )
         if kept_already >= cfg.keep and rem_burn == 0:
             # keep=0 burn-priming runs resume as long as burn remains
             raise ValueError(
@@ -512,6 +531,11 @@ def spamtree(
         # uninterrupted run's
         cfg = cfg._replace(burn=rem_burn, keep=cfg.keep - kept_already,
                            mc_fixed=_mc)
+        # cumulative progress handed to the drivers so THEIR checkpoints
+        # carry run-chain totals (chained resumes stay exact)
+        base_counts = (counts[1] if counts is not None
+                       else resumed_it - kept_already * cfg.thin,
+                       kept_already)
         if verbose:
             print(f"[resume] iteration {resumed_it}: {kept_already} kept "
                   f"draws already taken, {cfg.burn} burn + "
@@ -556,7 +580,8 @@ def spamtree(
                                   sink_append=resume_from is not None,
                                   const_model=settings["const_model"],
                                   mesh=mesh, pre_burn_hook=pre_burn_hook,
-                                  init_moments=init_moments)
+                                  init_moments=init_moments,
+                                  base_counts=base_counts)
         else:
             state = state0 if state0 is not None else _mk_state(seed)
             tb["init_state_s"] = round(time.time() - t_, 2)
@@ -567,7 +592,8 @@ def spamtree(
                            sink_append=resume_from is not None,
                            const_model=settings["const_model"],
                            mesh=mesh, pre_burn_hook=pre_burn_hook,
-                           init_moments=init_moments)
+                           init_moments=init_moments,
+                           base_counts=base_counts)
     finally:
         if tuner_thread is not None:
             # never orphan the tuner thread: if anything above raised (or

@@ -742,8 +742,14 @@ def run_mcmc(
     mesh=None,
     pre_burn_hook=None,
     init_moments=None,
+    base_counts=(0, 0),
 ):
     """Burn + chunked keep phases; returns dict of host-side sample arrays.
+
+    ``base_counts`` = (burn_done, kept_done) already executed by the run(s)
+    this one continues (api.spamtree's resume path); checkpoints store the
+    cumulative totals so a later resume never has to infer them from its
+    own chunk geometry.
 
     ``pre_burn_hook(state) -> state`` (optional) runs after the program
     compile is issued but before the first burn dispatch -- the join point
@@ -852,10 +858,6 @@ def run_mcmc(
         _lower_keep = keep_scan.lower
         _wrap = lambda ex: ex
 
-    # host-side yhat reconstruction (host RNG seeded from the chain key)
-    yhat_rng = np.random.default_rng(int(np.asarray(state.key).ravel()[-1]))
-    _yhat_host = _make_yhat_host(ms, n, yhat_rng)
-
     def _keys_chunk(sub):
         ck = jax.random.split(sub, mc * (cfg.thin + 1)).reshape(
             mc, cfg.thin + 1, 2
@@ -913,11 +915,19 @@ def run_mcmc(
     # caller dispatches it WITHOUT blocking (api.spamtree) so its whole
     # execution rides the compile wait above, exactly like the CPU tuner.
     # Block here -- after the compile -- so mcmc_time stays clean of init
-    # work; the residual is what the overlap did not cover.
+    # work; the residual is what the overlap did not cover.  NOTHING above
+    # this line may fetch a device value (lowering reads only avals).
     t_f = time.time()
     np.asarray(state.key)
     init_wait_s = round(time.time() - t_f, 2)
 
+    # host-side yhat reconstruction (host RNG seeded from the chain key);
+    # built AFTER the init-wait force: constructing it earlier would block
+    # on the async init program before the compile and defeat the overlap
+    yhat_rng = np.random.default_rng(int(np.asarray(state.key).ravel()[-1]))
+    _yhat_host = _make_yhat_host(ms, n, yhat_rng)
+
+    burn_done0, kept_done0 = base_counts
     t0 = time.time()
     key = state.key
     rep = _Reporter(t0, verbose)
@@ -936,7 +946,8 @@ def run_mcmc(
             from spamtree_tpu.utils.checkpoint import save_state
 
             save_state(checkpoint_path, carry[0]._replace(key=key),
-                       moments=carry[1] if summary else None)
+                       moments=carry[1] if summary else None,
+                       counts=(mc, burn_done0 + (bi + 1) * ipc, kept_done0))
         if verbose:
             rep.report("burn", (bi + 1) * ipc, burn_actual,
                        rep.snap(carry[0]), (bi + 1) * ipc)
@@ -992,7 +1003,9 @@ def run_mcmc(
             # checkpointing disables pipelining, so the live state IS the
             # just-drained chunk's state here (and carry[1] its moments)
             save_state(checkpoint_path, state,
-                       moments=carry[1] if summary else None)
+                       moments=carry[1] if summary else None,
+                       counts=(mc, burn_done0 + burn_actual,
+                               kept_done0 + drained))
         if verbose:
             rep.report("keep", drained, cfg.keep, rep_snap,
                        burn_actual + drained * cfg.thin)
@@ -1039,6 +1052,7 @@ def run_mcmc_chains(
     const_model: bool | None = None,
     pre_burn_hook=None,
     init_moments=None,
+    base_counts=(0, 0),
 ):
     """Run C independent chains in one program via vmap -- the multi-chain
     analog of ``run_mcmc`` with the same engineering: chunked burn (bounded
@@ -1055,7 +1069,9 @@ def run_mcmc_chains(
     import os
 
     n = ms.n
-    C = int(np.asarray(states.theta).shape[0])
+    # shape only -- np.asarray here would block on the async stack/init
+    # programs before the compile is issued (see the init-wait note below)
+    C = int(states.theta.shape[0])
     wire = _resolve_wire(cfg, ms)
     summary = cfg.collect == "summary"
     (mc, ipc, n_burn_chunks, burn_actual, n_keep_chunks,
@@ -1139,11 +1155,6 @@ def run_mcmc_chains(
         _lower_keep = keep_scan.lower
         _wrap = lambda ex: ex
 
-    yhat_rng = np.random.default_rng(
-        int(np.asarray(states.key).ravel()[-1])
-    )
-    _yhat_host = _make_yhat_host(ms, n, yhat_rng)  # (m, C, n) batches
-
     # per-chain key streams: split each chain's carried key into (next key,
     # m iteration keys) -- the user's per-chain seeds drive everything
     @partial(jax.jit, static_argnums=1)
@@ -1170,7 +1181,11 @@ def run_mcmc_chains(
     compile_phases = {}
     if precompile:
         t_c = time.time()
-        ck = jnp.asarray(np.asarray(states.key))
+        # lowering consumes only avals: a dummy key of the right
+        # shape/dtype keeps this from blocking on the async stack/init
+        # programs (np.asarray(states.key) here would serialize their
+        # relay execution ahead of the compile)
+        ck = jnp.zeros(tuple(states.key.shape), states.key.dtype)
         _, dk2 = _next_keys_keep(ck, mc)
         lowered = _lower_keep(ms, carry, (_shard_keys(dk2), flags_keep))
         t_l = time.time()
@@ -1195,19 +1210,29 @@ def run_mcmc_chains(
         carry = (states, carry[1])
 
     # block on the async init/stack programs AFTER the compile was issued
-    # (see run_mcmc): their relay execution rides the compile wait
+    # (see run_mcmc): their relay execution rides the compile wait.
+    # NOTHING above this line may fetch a device value.
     t_f = time.time()
     np.asarray(states.key)
     init_wait_s = round(time.time() - t_f, 2)
 
-    def _save(states, chainkeys):
+    # built AFTER the init-wait force (see run_mcmc)
+    yhat_rng = np.random.default_rng(
+        int(np.asarray(states.key).ravel()[-1])
+    )
+    _yhat_host = _make_yhat_host(ms, n, yhat_rng)  # (m, C, n) batches
+
+    burn_done0, kept_done0 = base_counts
+
+    def _save(states, chainkeys, counts):
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
             # checkpointing disables pipelining, so carry[1] holds the
             # moments matching the saved states in summary mode
             save_state(checkpoint_path, states._replace(key=chainkeys),
-                       moments=carry[1] if summary else None)
+                       moments=carry[1] if summary else None,
+                       counts=counts)
 
     t0 = time.time()
     chainkeys = states.key
@@ -1221,7 +1246,8 @@ def run_mcmc_chains(
         chainkeys, bkeys = _next_keys_keep(chainkeys, mc)
         carry, _void = fn0()(ms, carry, (_shard_keys(bkeys), flags_burn))
         del _void
-        _save(carry[0], chainkeys)
+        _save(carry[0], chainkeys,
+              (mc, burn_done0 + (bi + 1) * ipc, kept_done0))
         if verbose:
             jax.block_until_ready(carry[0].w)
             rep.report("burn", (bi + 1) * ipc, burn_actual,
@@ -1266,7 +1292,8 @@ def run_mcmc_chains(
                              tausq_s, wire=wire, outs=outs,
                              yhat_host=_yhat_host)
         drained += m_take
-        _save(states, chainkeys)
+        _save(states, chainkeys,
+              (mc, burn_done0 + burn_actual, kept_done0 + drained))
         if verbose:
             rep.report("keep", drained, cfg.keep, rep_snap,
                        burn_actual + drained * cfg.thin)

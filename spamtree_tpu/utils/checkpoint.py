@@ -19,15 +19,27 @@ from spamtree_tpu.model.mcmc import MCMCState
 from spamtree_tpu.model.ram import RAMState
 
 
-def save_state(path: str, state: MCMCState, moments=None) -> None:
+def save_state(path: str, state: MCMCState, moments=None,
+               counts=None) -> None:
     """``moments`` (optional, summary-collection runs): the running
     posterior-moment accumulators (mcmc.Moments) saved alongside the chain
     state, so an interrupted ``collect="summary"`` run resumes its exact
     partial sums instead of silently restarting them at zero (the drawn
-    samples they summarize are not retrievable any other way)."""
+    samples they summarize are not retrievable any other way).
+
+    ``counts`` (optional): the writing run's chunk geometry and cumulative
+    progress ``(mc, burn_done, kept_done)``.  The resume path needs the
+    WRITING run's numbers, not an inference from the resume call's config:
+    the balanced chunk size depends on ``keep``, so a resume asking for a
+    different keep would otherwise decompose the iteration counter with
+    the wrong burn_actual and silently mis-count the draws already taken
+    (api.spamtree falls back to that inference only for checkpoints
+    written before this field existed)."""
     extra = {}
+    if counts is not None:
+        extra["geom_counts"] = np.asarray(counts, dtype=np.int64)
     if moments is not None:
-        extra = dict(
+        extra.update(
             mom_count=np.asarray(moments.count),
             mom_w_sum=np.asarray(moments.w_sum),
             mom_w_sq=np.asarray(moments.w_sq),
@@ -51,6 +63,15 @@ def save_state(path: str, state: MCMCState, moments=None) -> None:
         ram_propos=np.asarray(state.ram.propos_count),
         ram_accept=np.asarray(state.ram.accept_count),
     )
+
+
+def load_counts(path: str):
+    """(mc, burn_done, kept_done) of the run that wrote the checkpoint, or
+    None for checkpoints from before the field existed."""
+    z = np.load(path)
+    if "geom_counts" not in z.files:
+        return None
+    return tuple(int(v) for v in z["geom_counts"])
 
 
 def load_moments(path: str, ms: ModelStatic):

@@ -125,8 +125,9 @@ def cached_compile(lowered, phases: dict | None = None):
         try:
             if os.path.getsize(path) > max_bytes:
                 # oversized under the CURRENT threshold (written by a run
-                # with a larger one): the relay transfer would lose to the
-                # persistent-cache path every time -- drop it
+                # with a larger one): the user lowered the gate, honor it
+                # (see the module docstring for the hit-vs-recompile
+                # economics) -- drop the entry and treat as a miss
                 os.remove(path)
                 raise FileNotFoundError(path)
             with open(path, "rb") as f:

@@ -305,6 +305,49 @@ def test_resume_repins_original_chunk_size(tmp_path):
     assert np.array_equal(res["beta_mcmc"], full["beta_mcmc"][:, 4:])
 
 
+def test_resume_extends_keep_across_different_geometry(tmp_path):
+    """Resume asking for MORE keep than the checkpoint run: the two runs'
+    keep values balance to different chunk sizes (keep=6/chunk=4 -> mc=3;
+    keep=12/chunk=4 -> mc=4), so inferring the original geometry from the
+    RESUME call's config would mis-place burn_actual and silently
+    mis-count kept_already.  The checkpoint now stores the writing run's
+    (mc, burn_done, kept_done); the continuation must count exactly and
+    bit-match a full run that uses the writing run's chunk size."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(dtype=jnp.float64, seed=37)
+    spamtree(y, X, coords, mcmc=dict(keep=6, burn=6),
+             settings=dict(chunk=4), checkpoint_path=ck, **kw)
+    res = spamtree(y, X, coords, mcmc=dict(keep=12, burn=6),
+                   settings=dict(chunk=4), resume_from=ck, **kw)
+    assert res["resumed_kept_already"] == 6
+    assert res["w_mcmc"].shape[0] == 6  # exactly the 6 NEW draws
+    # chunk=3 gives the uninterrupted run the writing run's mc=3 geometry
+    full = spamtree(y, X, coords, mcmc=dict(keep=12, burn=6),
+                    settings=dict(chunk=3), **kw)
+    assert np.array_equal(res["w_mcmc"], full["w_mcmc"][6:])
+    assert np.array_equal(res["theta_mcmc"], full["theta_mcmc"][:, 6:])
+
+
+def test_resume_burn_prime_different_keep(tmp_path):
+    """Burn-prime (keep=0) checkpoint resumed with keep>0: the writing
+    run's burn rounded up to ITS chunks (burn=9 -> 12 at mc=chunk=4); the
+    resume must see all 12 burn iterations as done (stored burn_done)
+    instead of re-deriving a smaller burn_actual from its own geometry and
+    mistaking the surplus burn for kept draws."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(dtype=jnp.float64, seed=41, settings=dict(chunk=4))
+    spamtree(y, X, coords, mcmc=dict(keep=0, burn=9), checkpoint_path=ck,
+             **kw)
+    res = spamtree(y, X, coords, mcmc=dict(keep=6, burn=9),
+                   resume_from=ck, **kw)
+    assert res["resumed_kept_already"] == 0
+    assert res["burn_actual"] == 0  # all burn already done, none repeated
+    assert res["w_mcmc"].shape[0] == 6
+    assert np.isfinite(res["w_mcmc"]).all()
+
+
 def test_resume_sink_append(tmp_path):
     """A resumed run pointed at the same sink_dir APPENDS to the existing
     sink files (truncating would destroy the interrupted run's draws): the
