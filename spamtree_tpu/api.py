@@ -153,10 +153,13 @@ def spamtree(
         kept draws are sampled and returned (concatenate with the earlier
         partial results; with ``sink_dir`` new draws APPEND to the existing
         sink files, which end up as if the run was never interrupted).
-        Because checkpoints land on chunk boundaries and carry the
-        post-chunk RNG key, the continuation's w/beta/tausq/theta draws are
-        bit-identical to an uninterrupted run whenever the remaining keep
-        is a whole number of chunks (yhat re-seeds its host noise stream).
+        Checkpoints record the writing run's chunk size and cumulative
+        (burn_done, kept_done), land on chunk boundaries, and carry the
+        post-chunk RNG key; the continuation is pinned to the writing
+        run's chunk size, so its w/beta/tausq/theta draws are
+        bit-identical to an uninterrupted run with the same chunk
+        geometry (yhat re-seeds its host noise stream).  ``keep`` may be
+        RAISED on resume to extend a finished run with more draws.
         The reference has no equivalent (warm starts only, SURVEY.md §5).
     devices / mesh : multi-device execution, the analog of the reference's
         ``num_threads`` knob (spamtree_fit.cpp:57-59).  ``devices="all"``
