@@ -487,12 +487,14 @@ def spamtree(
             # whenever the two runs' keep values balance to different mc
             # (chunk_sizes depends on keep): burn_actual would shift and
             # kept draws would be silently mis-counted.
-            _mc, burn_done, kept_already = counts
-            _ipc = _mc * cfg.thin
-            _burn_target = (int(np.ceil(cfg.burn / _ipc)) * _ipc
-                            if cfg.burn > 0 else 0)
-            rem_burn = max(_burn_target - burn_done, 0)
-            kept_already = min(kept_already, cfg.keep)
+            from spamtree_tpu.model.mcmc import chunk_sizes
+
+            _mc, burn_done, kept_done = counts
+            # one copy of the burn-rounding arithmetic: chunk_sizes under
+            # the writing run's pinned mc
+            _, _ipc, _, _nb = chunk_sizes(cfg._replace(mc_fixed=_mc))
+            rem_burn = max(_nb * _ipc - burn_done, 0)
+            kept_already = min(kept_done, cfg.keep)
         else:
             # pre-counts checkpoint: decompose the iteration counter with
             # this call's chunk geometry (exact only when both runs' keep
@@ -535,10 +537,13 @@ def spamtree(
         cfg = cfg._replace(burn=rem_burn, keep=cfg.keep - kept_already,
                            mc_fixed=_mc)
         # cumulative progress handed to the drivers so THEIR checkpoints
-        # carry run-chain totals (chained resumes stay exact)
-        base_counts = (counts[1] if counts is not None
-                       else resumed_it - kept_already * cfg.thin,
-                       kept_already)
+        # carry run-chain totals (chained resumes stay exact).  The kept
+        # base is the checkpoint's TRUE kept_done, not the cfg.keep-clipped
+        # kept_already: a burn-extension resume asking for fewer keeps must
+        # not shrink the counter and orphan already-sunk draws
+        base_counts = ((counts[1], counts[2]) if counts is not None
+                       else (resumed_it - kept_already * cfg.thin,
+                             kept_already))
         if verbose:
             print(f"[resume] iteration {resumed_it}: {kept_already} kept "
                   f"draws already taken, {cfg.burn} burn + "

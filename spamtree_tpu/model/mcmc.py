@@ -436,7 +436,9 @@ def chunk_sizes(cfg: MCMCConfig):
             mc = -(-cfg.keep // n_keep_chunks)
     else:
         n_keep_chunks = 0
-        mc = cfg.chunk
+        # burn-only continuations must honor the pin too: resumed burn
+        # chunks otherwise land on different RNG-split boundaries
+        mc = int(cfg.mc_fixed) if cfg.mc_fixed else cfg.chunk
     ipc = mc * cfg.thin
     n_burn_chunks = int(np.ceil(cfg.burn / ipc)) if cfg.burn > 0 else 0
     return mc, ipc, n_keep_chunks, n_burn_chunks

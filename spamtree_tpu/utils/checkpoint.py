@@ -68,10 +68,10 @@ def save_state(path: str, state: MCMCState, moments=None,
 def load_counts(path: str):
     """(mc, burn_done, kept_done) of the run that wrote the checkpoint, or
     None for checkpoints from before the field existed."""
-    z = np.load(path)
-    if "geom_counts" not in z.files:
-        return None
-    return tuple(int(v) for v in z["geom_counts"])
+    with np.load(path) as z:
+        if "geom_counts" not in z.files:
+            return None
+        return tuple(int(v) for v in z["geom_counts"])
 
 
 def load_moments(path: str, ms: ModelStatic):
@@ -79,23 +79,24 @@ def load_moments(path: str, ms: ModelStatic):
     (None when the checkpoint was not a summary-collection run)."""
     from spamtree_tpu.model.mcmc import Moments
 
-    z = np.load(path)
-    if "mom_count" not in z.files:
-        return None
-    dt = ms.dtype
-    return Moments(
-        count=jnp.asarray(z["mom_count"], dtype=dt),
-        w_sum=jnp.asarray(z["mom_w_sum"], dtype=dt),
-        w_sq=jnp.asarray(z["mom_w_sq"], dtype=dt),
-        yh_sum=jnp.asarray(z["mom_yh_sum"], dtype=dt),
-        yh_sq=jnp.asarray(z["mom_yh_sq"], dtype=dt),
-    )
+    with np.load(path) as z:
+        if "mom_count" not in z.files:
+            return None
+        dt = ms.dtype
+        return Moments(
+            count=jnp.asarray(z["mom_count"], dtype=dt),
+            w_sum=jnp.asarray(z["mom_w_sum"], dtype=dt),
+            w_sq=jnp.asarray(z["mom_w_sq"], dtype=dt),
+            yh_sum=jnp.asarray(z["mom_yh_sum"], dtype=dt),
+            yh_sq=jnp.asarray(z["mom_yh_sq"], dtype=dt),
+        )
 
 
 def load_state(path: str, ms: ModelStatic) -> MCMCState:
     """Load a single-chain or stacked multi-chain (leading C axis) state."""
     ms.materialize_device()  # sweep_fn below takes ms as a jit argument
-    z = np.load(path)
+    with np.load(path) as zf:  # close the npz handle promptly
+        z = {k: zf[k] for k in zf.files}
     dt = ms.dtype
     theta = jnp.asarray(z["theta"], dtype=dt)
     w = jnp.asarray(z["w"], dtype=dt)

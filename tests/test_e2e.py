@@ -348,6 +348,41 @@ def test_resume_burn_prime_different_keep(tmp_path):
     assert np.isfinite(res["w_mcmc"]).all()
 
 
+def test_resume_chained_counts_survive(tmp_path):
+    """Chained resumes must carry the TRUE cumulative counts.  (a) A
+    burn-extension resume asking for FEWER keeps than already taken must
+    not shrink the stored kept_done (the extra draws live in earlier
+    results/sinks; clipping would orphan them for the next resume).
+    (b) A keep=0 (burn-only) continuation must honor the writing run's
+    chunk-size pin -- chunk_sizes' keep==0 branch used to fall back to
+    cfg.chunk, storing a wrong mc for every later resume."""
+    coords, X, y, y_full, w, miss, B = _sim_univariate(SS=9)
+    kw = dict(dtype=jnp.float64, seed=43)
+    ck = str(tmp_path / "ck.npz")
+    # writing run: keep=10/chunk=5 -> mc=5; burn=4 rounds up to one
+    # 5-iteration chunk (burn_done=5)
+    spamtree(y, X, coords, mcmc=dict(keep=10, burn=4),
+             settings=dict(chunk=5), checkpoint_path=ck, **kw)
+    with np.load(ck) as z:
+        assert tuple(z["geom_counts"]) == (5, 5, 10)
+    # burn-extension resume with keep=6 < kept_done=10 and a DIFFERENT
+    # chunk setting: burn-only continuation (rem_burn = 15-5 = 10 under
+    # the pinned ipc=5), whose checkpoints must keep kept_done=10 and mc=5
+    r1 = spamtree(y, X, coords, mcmc=dict(keep=6, burn=15),
+                  settings=dict(chunk=3), resume_from=ck,
+                  checkpoint_path=ck, **kw)
+    assert r1["burn_actual"] == 10 and r1["w_mcmc"].shape[0] == 0
+    with np.load(ck) as z:
+        assert tuple(z["geom_counts"]) == (5, 15, 10)
+    # final resume: all burn done, draws 2 more keeps on the mc=5 grid
+    r2 = spamtree(y, X, coords, mcmc=dict(keep=12, burn=15),
+                  settings=dict(chunk=3), resume_from=ck, **kw)
+    assert r2["resumed_kept_already"] == 10
+    assert r2["burn_actual"] == 0
+    assert r2["w_mcmc"].shape[0] == 2
+    assert np.isfinite(r2["w_mcmc"]).all()
+
+
 def test_resume_sink_append(tmp_path):
     """A resumed run pointed at the same sink_dir APPENDS to the existing
     sink files (truncating would destroy the interrupted run's draws): the
