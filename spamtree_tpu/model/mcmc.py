@@ -949,7 +949,8 @@ def run_mcmc(
 
             save_state(checkpoint_path, carry[0]._replace(key=key),
                        moments=carry[1] if summary else None,
-                       counts=(mc, burn_done0 + (bi + 1) * ipc, kept_done0))
+                       counts=(mc, burn_done0 + (bi + 1) * ipc, kept_done0,
+                               cfg.thin))
         if verbose:
             rep.report("burn", (bi + 1) * ipc, burn_actual,
                        rep.snap(carry[0]), (bi + 1) * ipc)
@@ -1007,7 +1008,7 @@ def run_mcmc(
             save_state(checkpoint_path, state,
                        moments=carry[1] if summary else None,
                        counts=(mc, burn_done0 + burn_actual,
-                               kept_done0 + drained))
+                               kept_done0 + drained, cfg.thin))
         if verbose:
             rep.report("keep", drained, cfg.keep, rep_snap,
                        burn_actual + drained * cfg.thin)
@@ -1249,7 +1250,7 @@ def run_mcmc_chains(
         carry, _void = fn0()(ms, carry, (_shard_keys(bkeys), flags_burn))
         del _void
         _save(carry[0], chainkeys,
-              (mc, burn_done0 + (bi + 1) * ipc, kept_done0))
+              (mc, burn_done0 + (bi + 1) * ipc, kept_done0, cfg.thin))
         if verbose:
             jax.block_until_ready(carry[0].w)
             rep.report("burn", (bi + 1) * ipc, burn_actual,
@@ -1295,7 +1296,8 @@ def run_mcmc_chains(
                              yhat_host=_yhat_host)
         drained += m_take
         _save(states, chainkeys,
-              (mc, burn_done0 + burn_actual, kept_done0 + drained))
+              (mc, burn_done0 + burn_actual, kept_done0 + drained,
+               cfg.thin))
         if verbose:
             rep.report("keep", drained, cfg.keep, rep_snap,
                        burn_actual + drained * cfg.thin)

@@ -28,13 +28,16 @@ def save_state(path: str, state: MCMCState, moments=None,
     samples they summarize are not retrievable any other way).
 
     ``counts`` (optional): the writing run's chunk geometry and cumulative
-    progress ``(mc, burn_done, kept_done)``.  The resume path needs the
-    WRITING run's numbers, not an inference from the resume call's config:
-    the balanced chunk size depends on ``keep``, so a resume asking for a
-    different keep would otherwise decompose the iteration counter with
-    the wrong burn_actual and silently mis-count the draws already taken
-    (api.spamtree falls back to that inference only for checkpoints
-    written before this field existed)."""
+    progress ``(mc, burn_done, kept_done, thin)``.  The resume path needs
+    the WRITING run's numbers, not an inference from the resume call's
+    config: the balanced chunk size depends on ``keep``, so a resume asking
+    for a different keep would otherwise decompose the iteration counter
+    with the wrong burn_actual and silently mis-count the draws already
+    taken (api.spamtree falls back to that inference only for checkpoints
+    written before this field existed).  ``thin`` is stored so the resume
+    path can REJECT a continuation under a different thin: iterations per
+    chunk are mc*thin, so a thin change silently shifts burn_actual and the
+    chunk/RNG boundaries, contradicting the exact-continuation guarantee."""
     extra = {}
     if counts is not None:
         extra["geom_counts"] = np.asarray(counts, dtype=np.int64)
@@ -66,7 +69,8 @@ def save_state(path: str, state: MCMCState, moments=None,
 
 
 def load_counts(path: str):
-    """(mc, burn_done, kept_done) of the run that wrote the checkpoint, or
+    """(mc, burn_done, kept_done[, thin]) of the run that wrote the
+    checkpoint (3-tuple for checkpoints from before thin was recorded), or
     None for checkpoints from before the field existed."""
     with np.load(path) as z:
         if "geom_counts" not in z.files:

@@ -76,9 +76,27 @@ def _cache_dir() -> str | None:
 
 def _backend_tag() -> bytes:
     dev = jax.devices()[0]
+    # deserialized AOT executables are ABI-tied to the RUNTIME, not just to
+    # jax: a jaxlib/libtpu upgrade under an unchanged jax version must not
+    # load stale binaries, so the jaxlib version and the backend's own
+    # platform_version (the libtpu/runtime build string) key the entry too
+    try:
+        import jaxlib
+
+        jl = getattr(jaxlib, "__version__", "?")
+    except Exception:
+        jl = "?"
+    try:
+        from jax.extend import backend as _jex_backend
+
+        pv = _jex_backend.get_backend().platform_version
+    except Exception:
+        pv = "?"
     return "|".join(
         [
             jax.__version__,
+            jl,
+            pv,
             dev.platform,
             getattr(dev, "device_kind", "?"),
             str(jax.device_count()),
@@ -161,7 +179,14 @@ def cached_compile(lowered, phases: dict | None = None):
             ca = dict(ca[0]) if isinstance(ca, (list, tuple)) else dict(ca)
         except Exception:
             ca = {}
-        os.makedirs(d, exist_ok=True)
+        # entries are pickles and pickle.load executes arbitrary code: keep
+        # the cache dir private so another principal cannot plant entries
+        # (mode applies only at creation; a pre-existing dir is tightened)
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        try:
+            os.chmod(d, 0o700)
+        except OSError:
+            pass
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
         with os.fdopen(fd, "wb") as f:
             pickle.dump((payload, in_tree, out_tree, ca), f)

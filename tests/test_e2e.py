@@ -238,6 +238,11 @@ def test_resume_from_checkpoint(tmp_path):
     with pytest.raises(ValueError, match="chain"):
         spamtree(y, X, coords, mcmc=dict(keep=60, burn=20), n_chains=2,
                  resume_from=ck, **kw)
+    # thin mismatch is rejected: iterations per chunk are mc*thin, so a
+    # different thin would shift burn_actual and the chunk/RNG boundaries
+    with pytest.raises(ValueError, match="thin"):
+        spamtree(y, X, coords, mcmc=dict(keep=60, burn=20, thin=2),
+                 resume_from=ck, **kw)
 
 
 def test_resume_mid_burn_and_chains(tmp_path):
