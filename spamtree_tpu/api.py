@@ -58,6 +58,7 @@ def spamtree(
     x,
     coords,
     mv_id=None,
+    elevation=False,
     cell_size=25,
     K=2,
     start_level=0,
@@ -94,6 +95,12 @@ def spamtree(
     coords : (n, dd) spatial coordinates (dd = 2 typical; any dd works).
     mv_id : (n,) outcome/margin ids for multivariate data (any label set;
         q = number of distinct labels).  None = univariate.
+    elevation : with dd = 3 coordinates, treat the third column as elevation
+        and use the AG10-with-elevation covariance (model 2,
+        covariance_functions.cpp:138-209) instead of the nonspatial
+        multi-input kernel.  The reference IMPLEMENTS model 2 but its
+        front-end cannot reach it (dd==3 is rejected before dispatch,
+        spamtree_fit.R:59-62); this knob makes the rebuild strictly broader.
     cell_size : target locations per tree block (reference axis_cell_size ^ dd).
     K : per-axis branching factor of the recursive partition.
     start_level, tree_depth, last_not_reference, limited_tree : tree shape
@@ -264,13 +271,20 @@ def spamtree(
         from spamtree_tpu.model.params import auto_start_theta
 
         t_ = time.time()
-        start_theta = auto_start_theta(dd, q, cs, ys, mvs)
+        start_theta = auto_start_theta(dd, q, cs, ys, mvs,
+                                       elevation=bool(elevation))
         tb["start_theta_s"] = round(time.time() - t_, 2)
+    if elevation and dd != 3:
+        raise ValueError(
+            f"elevation=True needs 3 coordinate columns (x, y, elevation); "
+            f"got dd={dd}"
+        )
     tspec = make_theta_spec(
         dd, q,
         btmlim=prior["btmlim"] if prior["btmlim"] is not None else 1e-3,
         toplim=prior["toplim"] if prior["toplim"] is not None else 1e3,
         vlim=prior["vlim"],
+        elevation=bool(elevation),
         set_unif_bounds=prior["set_unif_bounds"],
         start_theta=start_theta,
     )
@@ -489,7 +503,17 @@ def spamtree(
             # kept draws would be silently mis-counted.
             from spamtree_tpu.model.mcmc import chunk_sizes
 
-            _mc, burn_done, kept_done = counts
+            _mc, burn_done, kept_done = counts[:3]
+            if len(counts) >= 4 and counts[3] != cfg.thin:
+                # iterations per chunk are mc*thin: a thin change shifts
+                # burn_actual and every chunk/RNG boundary, so an "exact
+                # continuation" under a different thin is a contradiction
+                raise ValueError(
+                    f"checkpoint was written with thin={counts[3]}; "
+                    f"resuming with thin={cfg.thin} would silently shift "
+                    f"the chunk boundaries and mis-count kept draws -- "
+                    f"resume with the original thin"
+                )
             # one copy of the burn-rounding arithmetic: chunk_sizes under
             # the writing run's pinned mc
             _, _ipc, _, _nb = chunk_sizes(cfg._replace(mc_fixed=_mc))

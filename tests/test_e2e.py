@@ -593,3 +593,39 @@ def test_interval_coverage_calibration():
     assert 0.78 <= res["yhat_coverage"] <= 0.99, res
     # beta: 12 indicator draws; require no gross miscalibration
     assert min(res["beta_coverage"]) >= 0.5, res
+
+
+def test_elevation_through_front_end():
+    """elevation=True reaches covariance model 2 (AG10 + elevation) through
+    the public spamtree() surface -- a path the reference implements
+    (covariance_functions.cpp:138-209) but whose front-end rejects dd==3
+    before dispatch (spamtree_fit.R:59-62).  Simulate from an
+    elevation-modulated GP and check recovery beats the trivial predictor."""
+    rng = np.random.default_rng(7)
+    n = 320
+    coords = np.column_stack([
+        rng.uniform(size=(n, 2)), 0.3 * rng.uniform(size=n)
+    ])
+    D2 = np.linalg.norm(coords[:, None, :2] - coords[None, :, :2], axis=-1)
+    De = np.abs(coords[:, None, 2] - coords[None, :, 2])
+    CC = 1.8 * np.exp(-5.0 * D2 - 2.0 * De)
+    w = np.linalg.cholesky(CC + 1e-8 * np.eye(n)) @ rng.normal(size=n)
+    X = rng.normal(size=(n, 2))
+    B = np.array([1.0, -0.5])
+    y_full = X @ B + w + np.sqrt(0.05) * rng.normal(size=n)
+    miss = rng.binomial(1, 0.12, n).astype(bool)
+    y = np.where(miss, np.nan, y_full)
+    out = spamtree(y, X, coords, elevation=True, cell_size=16,
+                   mcmc=dict(keep=120, burn=120), dtype=jnp.float64, seed=3)
+    # model 2's theta layout: ai1, ai2, phi, thetamv(1), d_elevation for q=1
+    assert out["theta_mcmc"].shape[0] == 5
+    order = out["order"]
+    mo = miss[order]
+    rmspe = np.sqrt(np.mean(
+        (out["yhat_mcmc"].mean(axis=0)[mo] - y_full[order][mo]) ** 2))
+    assert rmspe < 0.75 * np.nanstd(y_full), rmspe
+    # dd=3 without the knob dispatches the nonspatial kernel; with a wrong
+    # dd the knob raises
+    with pytest.raises(ValueError, match="elevation"):
+        spamtree(y, X, coords[:, :2], elevation=True,
+                 mcmc=dict(keep=2, burn=0))
