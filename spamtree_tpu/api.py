@@ -446,6 +446,9 @@ def spamtree(
         collect=settings["collect"], wire_dtype=settings["wire_dtype"],
         summary_draws=int(settings["summary_draws"]),
         chunk=int(settings["chunk"]),
+        # verbose>=3 prints per-iteration theta/tausq at drain time (free);
+        # verbose>=4 prints LIVE from inside the step via a host callback
+        printall=int(verbose) >= 4,
     )
     start_w = starting["w"]
     if start_w is not None:

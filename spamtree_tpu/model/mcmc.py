@@ -105,6 +105,13 @@ class MCMCConfig(NamedTuple):
     # branch (still gated by the Cholesky ok flag) so the accept-cond's two
     # paths can be timed separately (examples/bisect_step_blocks.py)
     force_accept: object = None
+    # LIVE per-iteration theta/tausq printing from INSIDE the compiled step
+    # (host callback), the reference's printall (spamtree_fit.cpp:344-350);
+    # api.spamtree sets it at verbose >= 4.  verbose >= 3 keeps the
+    # zero-cost drain-time variant (_Reporter.printall) instead -- the
+    # callback stalls the device pipeline every iteration, so live mode is
+    # a debugging tool, not a production knob.
+    printall: bool = False
 
 
 def init_state(
@@ -385,6 +392,15 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
         if cfg.sample_beta:
             beta, XB = gibbs_beta(ms, w, tausq_inv, kb, Vi, Vim)
 
+        if cfg.printall:
+            # live per-iteration report (reference printall,
+            # spamtree_fit.cpp:344-350); ordered so lines interleave in
+            # iteration order within the scan
+            jax.debug.print(
+                "    it {it}: theta={th} tausq={tq}",
+                it=state.it + 1, th=theta, tq=1.0 / tausq_inv, ordered=True,
+            )
+
         return MCMCState(
             key=state.key, w=w, beta=beta, tausq_inv=tausq_inv, XB=XB,
             theta=theta, leveldata=leveldata, pred_data=pred_data,
@@ -558,11 +574,12 @@ class _Reporter:
         self.prev = dict(acc=acc, prop=prop, t=now, it=iters_done)
 
     def printall(self, theta_s, tausq_s, base):
-        """verbose>=3: per-kept-iteration theta/tausq, printed at drain time
+        """verbose==3: per-kept-iteration theta/tausq, printed at drain time
         (the reference prints every iteration under printall,
         spamtree_fit.cpp:344-350); the values ride the existing transfer,
-        costing nothing when off."""
-        if self.verbose >= 3:
+        costing nothing when off.  verbose>=4 switches to the LIVE in-step
+        callback (MCMCConfig.printall) and suppresses this duplicate."""
+        if self.verbose == 3:
             for i in range(theta_s.shape[0]):
                 print(f"    it {base + i + 1}: theta="
                       f"{np.array2string(theta_s[i], precision=4)} tausq="
