@@ -271,6 +271,12 @@ class ModelStatic:
         # joint factors at deep levels are the largest transients in the
         # sweep, so they are dropped as soon as their last consumer ran)
         used = {p.lp_level for p in sched.levels if p.lp_level >= 0}
+        # parents of SWEEP levels only (no prediction): the decision-only
+        # sweep never builds prediction operators, so a level whose joint
+        # factor feeds only the prediction buckets skips emitting it there
+        self.serves_as_sweep_parent = [
+            t in used for t in range(len(sched.levels))
+        ]
         self.pred_lp = pred_buckets[0].lp_level if pred_buckets else -1
         if self.pred_lp >= 0:
             used.add(self.pred_lp)
@@ -486,8 +492,8 @@ _MS_STATIC_FIELDS = (
     "spec", "dtype", "factor_dtype", "use_pallas", "n", "p", "q", "limited_tree",
     "level_chunks", "pred_chunks", "level_is_ref", "level_group_c",
     "level_aligned", "pred_aligned", "level_lp", "level_segs",
-    "pred_lp", "serves_as_parent", "last_consumer", "seg_level",
-    "pred_in_carry",
+    "pred_lp", "serves_as_parent", "serves_as_sweep_parent",
+    "last_consumer", "seg_level", "pred_in_carry",
 )
 
 
@@ -519,7 +525,7 @@ def _ms_unflatten(static, arrays):
     for f, v in zip(_MS_STATIC_FIELDS, static):
         if f in ("level_chunks", "pred_chunks", "level_is_ref",
                  "level_group_c", "level_aligned", "pred_aligned",
-                 "level_lp", "serves_as_parent"):
+                 "level_lp", "serves_as_parent", "serves_as_sweep_parent"):
             v = list(v)
         elif f == "level_segs":
             v = [(list(a), list(b)) for a, b in v]
@@ -535,7 +541,7 @@ jax.tree_util.register_pytree_node(ModelStatic, _ms_flatten, _ms_unflatten)
 
 
 def _apply_parent_factor(parent_joint, lp_pos, Kxc, gc: int,
-                         aligned: bool = False):
+                         aligned: bool = False, need_H: bool = True):
     """Conditional-mean machinery M = LAi Kxc, H = Kxc' LAi' LAi.
 
     With ``gc > 1`` the level is parent-major in groups of gc children
@@ -544,6 +550,10 @@ def _apply_parent_factor(parent_joint, lp_pos, Kxc, gc: int,
     to all children as one batched GEMM with a (P, gc*S) right-hand side.
     Returns (M, H, LAi) where LAi is (B, P, P) for gc == 1 and (G, P, P)
     grouped otherwise (callers broadcast for the joint-factor assembly).
+    ``need_H=False`` (decision-only sweep) skips materializing the (B, S, P)
+    H tensor and returns None in its slot: the MH decision needs only
+    M-derived quantities (Schur complement M'M, prior mean via _hw_from_M,
+    thin-level diag via sum_p M^2).
     """
     B, P, S = Kxc.shape
     if gc <= 1:
@@ -551,14 +561,30 @@ def _apply_parent_factor(parent_joint, lp_pos, Kxc, gc: int,
         # element-for-element: straight stream, no row gather
         LAi = parent_joint if aligned else parent_joint[lp_pos]  # (B, P, P)
         M = LAi @ Kxc  # (B, P, S)
-        H = jnp.einsum("bps,bpq->bsq", M, LAi)  # Kxc' LAi' LAi
+        H = jnp.einsum("bps,bpq->bsq", M, LAi) if need_H else None
         return M, H, LAi
     G = B // gc
     LAi = parent_joint[lp_pos[::gc]]  # (G, P, P)
     Kxc4 = Kxc.reshape(G, gc, P, S)
     M4 = jnp.einsum("gpq,gcqs->gcps", LAi, Kxc4)
-    H = jnp.einsum("gcps,gpq->gcsq", M4, LAi).reshape(B, S, P)
+    H = (jnp.einsum("gcps,gpq->gcsq", M4, LAi).reshape(B, S, P)
+         if need_H else None)
     return M4.reshape(B, P, S), H, LAi
+
+
+def _hw_from_M(M, LAi, wpar, gc: int):
+    """Prior conditional mean H wpar = M' (LAi wpar) WITHOUT materializing
+    H -- the decision-only sweep's replacement for einsum('bsp,bp->bs', H,
+    wpar).  Exact: H = Kxc' LAi' LAi = M' LAi by definition."""
+    B, P, S = M.shape
+    if gc <= 1:
+        u = jnp.einsum("bpq,bq->bp", LAi, wpar)
+        return jnp.einsum("bps,bp->bs", M, u)
+    G = B // gc
+    u = jnp.einsum("gpq,gcq->gcp", LAi, wpar.reshape(G, gc, P))
+    return jnp.einsum(
+        "gcps,gcp->gcs", M.reshape(G, gc, P, S), u
+    ).reshape(B, S)
 
 
 def _assemble_joint(LAi, Rinv, H, P, S, gc, dtype):
@@ -617,7 +643,8 @@ def _run_level(lvl: LevelArrays, nc: int, carry, body):
 
 
 def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
-          quad_prev: tuple | None = None, emit_pred_joint: bool = False):
+          quad_prev: tuple | None = None, emit_pred_joint: bool = False,
+          decision_only: bool = False):
     """Full root->leaf likelihood sweep for a theta value.
 
     Returns (leveldata tuple, pred_data, logdetCi scalar, ok flag), the
@@ -632,7 +659,20 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
     912-914); fusing both here removes two standalone ``quad_loglik`` passes
     per iteration that would otherwise re-read every (B,S,P)/(B,S,S) factor
     tensor from HBM.
+
+    ``decision_only=True`` (requires quad_prev) computes ONLY the MH
+    decision quantities and returns ``(logdet, ok, quad_new, quad_cur)``:
+    no leveldata or prediction operators are emitted, the (B, S, P)
+    conditional-mean operators H and the (B, S, S) precisions never
+    materialize (M-derived forms replace them), and joint factors are
+    propagated only to levels that later SWEEP levels consume.  This is the
+    reject path of the accept-aware MCMC step (mcmc.make_step): the factor-
+    emitting rebuild runs inside the accept branch of the cond, so the ~73%
+    rejected proposals never pay the emission or the cond's output
+    forwarding over the full factor set.
     """
+    if decision_only:
+        assert quad_prev is not None, "decision_only requires quad_prev"
     params = unpack_theta(theta.astype(ms.dtype), ms.spec)
     leveldata = []
     logdet = jnp.zeros((), dtype=ms.dtype)
@@ -646,7 +686,10 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
         is_ref = ms.level_is_ref[t]
         gc = ms.level_group_c[t]
         al = ms.level_aligned[t]
-        emit_joint = is_ref and ms.serves_as_parent[t]
+        emit_joint = is_ref and (
+            ms.serves_as_sweep_parent[t] if decision_only
+            else ms.serves_as_parent[t]
+        )
         parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
         prev_t = quad_prev[t] if quad_prev is not None else None
 
@@ -660,17 +703,26 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
             if quad_prev is not None:
                 w_r = w[lvl.rows]  # (B, S)
                 wpar = w[lvl.prows] if P > 0 else None
+            need_H = (not decision_only) or emit_joint
             if P > 0:
                 cxp = ms.coords[lvl.prows]
                 mvp = ms.mv[lvl.prows]
                 Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
                 Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
                 M, H, LAi = _apply_parent_factor(
-                    parent_joint, lvl.lp_pos, Kxc, gc, al
+                    parent_joint, lvl.lp_pos, Kxc, gc, al, need_H
                 )
             else:
                 Kxc = M = LAi = None
                 H = jnp.zeros((B, S, 0), dtype=ms.dtype)
+
+            def _hw():
+                # prior conditional mean H wpar; via M when H was skipped
+                if P == 0:
+                    return 0.0
+                if H is not None:
+                    return jnp.einsum("bsp,bp->bs", H, wpar)
+                return _hw_from_M(M, LAi, wpar, gc)
 
             if is_ref:
                 Kcc = _bcov(ms, params, cxr, mvr, cxr, mvr)
@@ -680,14 +732,12 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                 L, Rinv, okl = chol_inv_masked(
                     Rcc, lvl.rmask, ms.use_pallas and S <= 64
                 )
-                prec = jnp.einsum("bks,bkt->bst", Rinv, Rinv)
                 logdet = logdet + jnp.sum(
                     jnp.log(jnp.diagonal(Rinv, axis1=-2, axis2=-1))
                 )
                 ok = ok & jnp.all(okl)
                 if quad_prev is not None:
-                    wx = w_r - (jnp.einsum("bsp,bp->bs", H, wpar)
-                                if P > 0 else 0.0)
+                    wx = w_r - (_hw() if P > 0 else 0.0)
                     v = jnp.einsum("bst,bt->bs", Rinv, wx)
                     qn = qn - 0.5 * jnp.sum(v * v)
                     wxc = w_r - (jnp.einsum("bsp,bp->bs", prev.H, wpar)
@@ -710,13 +760,23 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                         # storage-only downcast: consumers upcast in-register
                         # inside the child-apply GEMMs (see __init__ note)
                         J = J.astype(ms.factor_dtype)
+                if decision_only:
+                    outs = (J,) if emit_joint else ()
+                    return (logdet, ok, qn, qc), outs
+                prec = jnp.einsum("bks,bkt->bst", Rinv, Rinv)
                 outs = (H, prec, J) if emit_joint else (H, prec)
                 return (logdet, ok, qn, qc), outs
             else:
                 kdiag = jax.vmap(
                     lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
                 )(cxr, mvr)
-                hk = jnp.einsum("bsp,bps->bs", H, Kxc) if P > 0 else 0.0
+                if P == 0:
+                    hk = 0.0
+                elif H is not None:
+                    hk = jnp.einsum("bsp,bps->bs", H, Kxc)
+                else:
+                    # diag(H Kxc) = diag(M' M) = sum_p M^2
+                    hk = jnp.sum(M * M, axis=1)
                 r = jnp.where(lvl.rmask, kdiag - hk, 1.0)
                 okl = jnp.isfinite(r) & (r > 0)
                 ok = ok & jnp.all(okl)
@@ -725,12 +785,13 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                     jnp.where(lvl.rmask, jnp.log(r), 0.0)
                 )
                 if quad_prev is not None:
-                    wx = w_r - (jnp.einsum("bsp,bp->bs", H, wpar)
-                                if P > 0 else 0.0)
+                    wx = w_r - (_hw() if P > 0 else 0.0)
                     qn = qn - 0.5 * jnp.sum(wx * wx / r)
                     wxc = w_r - (jnp.einsum("bsp,bp->bs", prev.H, wpar)
                                  if P > 0 else 0.0)
                     qc = qc - 0.5 * jnp.sum(prev.prec * wxc * wxc)
+                if decision_only:
+                    return (logdet, ok, qn, qc), ()
                 return (logdet, ok, qn, qc), (H, 1.0 / r)
 
         nc = ms.level_chunks[t]
@@ -753,16 +814,23 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
             outs = jax.tree.map(
                 lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outs
             )
-        if emit_joint:
+        if decision_only:
+            if emit_joint:
+                joints[t] = outs[0]
+        elif emit_joint:
             H, prec, J = outs
             joints[t] = J
+            leveldata.append(LevelData(H=H, prec=prec))
         else:
             H, prec = outs
-        leveldata.append(LevelData(H=H, prec=prec))
+            leveldata.append(LevelData(H=H, prec=prec))
 
         # drop joint factors whose last consumer has now run (HBM liveness)
         for k in [k for k, last in ms.last_consumer.items() if last == t]:
             joints.pop(k, None)
+
+    if decision_only:
+        return logdet, ok, qn, qc
 
     # prediction operators: conditional mean map H and per-location variance r
     # for the all-missing blocks, computed while the ancestor factors are

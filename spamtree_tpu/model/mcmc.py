@@ -105,6 +105,17 @@ class MCMCConfig(NamedTuple):
     # branch (still gated by the Cholesky ok flag) so the accept-cond's two
     # paths can be timed separately (examples/bisect_step_blocks.py)
     force_accept: object = None
+    # Accept-aware theta step (None = auto): the proposal runs a
+    # DECISION-ONLY sweep (loglik + fused quadratic forms, no factor/H/prec
+    # emission) and the factor-emitting rebuild runs INSIDE the accept
+    # branch of the cond -- so the ~73% rejected proposals pay neither the
+    # emission writes nor the cond's output forwarding over the ~155 MB
+    # factor set (VERDICT r3 item 1).  Auto resolves to True in the
+    # single-chain driver and False under vmapped chains (vmap turns cond
+    # into both-branches, which would pay decision + full sweep every
+    # iteration).  The accept branch costs one extra sweep, bought ~27% of
+    # the time.
+    accept_aware: object = None
     # LIVE per-iteration theta/tausq printing from INSIDE the compiled step
     # (host callback), the reference's printall (spamtree_fit.cpp:344-350);
     # api.spamtree sets it at verbose >= 4.  verbose >= 3 keeps the
@@ -303,15 +314,24 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                         gram=gram if use_gram else None)
 
         if cfg.sample_theta:
+            accept_aware = cfg.accept_aware
+            if accept_aware is None:
+                accept_aware = True  # drivers pass False for vmapped chains
             U = jax.random.normal(kt, (theta.shape[0],), dtype=ms.dtype)
             prop = transf_back(transf_fwd(theta, bnds) + ram.paramsd @ U, bnds)
             prop, _ = clamp_bounds(prop, bnds)
             # both quadratic forms (proposal and current factors) are fused
             # into the proposal sweep's level loop -- no standalone
             # quad_loglik passes over the stored factors
-            new_ld, new_pj, new_logdet, ok, q_new, q_cur = sweep(
-                ms, prop, w, quad_prev=leveldata, emit_pred_joint=True
-            )
+            if accept_aware:
+                # decision-only: no factor/H/prec emission, no pred joint
+                new_logdet, ok, q_new, q_cur = sweep(
+                    ms, prop, w, quad_prev=leveldata, decision_only=True
+                )
+            else:
+                new_ld, new_pj, new_logdet, ok, q_new, q_cur = sweep(
+                    ms, prop, w, quad_prev=leveldata, emit_pred_joint=True
+                )
             cur_ll = logdetCi + q_cur
             new_ll = new_logdet + q_new
             jac = calc_jacobian(prop, theta, bnds)
@@ -324,8 +344,6 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             accepted = (u < acceptp) & ok
             if cfg.force_accept is not None:  # measurement-only pin
                 accepted = jnp.asarray(bool(cfg.force_accept)) & ok
-            theta = jnp.where(accepted, prop, theta)
-            logdetCi = jnp.where(accepted, new_logdet, logdetCi)
             # The factor swap and the derived-from-factors state (prediction
             # operators, message Gram blocks -- pure in (theta, factors))
             # all resolve in ONE accept-cond: a rejected iteration forwards
@@ -335,25 +353,64 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             # always-build -- and carry gram=() to opt out of the Gram half.)
             refresh_pred = pred_data is not None
 
-            def _on_accept(op):
-                prop_, pj_, ld_ = op
+            def _forward(_):
                 return (
-                    ld_,
-                    msg_gram(ms, ld_) if use_gram else (),
-                    pred_operators_from_joint(ms, prop_, pj_)
-                    if refresh_pred else None,
-                )
-
-            def _on_reject(op):
-                return (
+                    state.theta,
+                    state.logdetCi,
                     state.leveldata,
                     state.gram if use_gram else (),
                     state.pred_data if refresh_pred else None,
                 )
 
-            leveldata, new_gram, new_pred = jax.lax.cond(
-                accepted, _on_accept, _on_reject, (prop, new_pj, new_ld)
-            )
+            if accept_aware:
+                # the factor-emitting rebuild runs INSIDE the accept branch:
+                # only the ~27% accepted proposals pay it, and the reject
+                # branch is a pure identity on the carried buffers.  theta
+                # and logdetCi resolve in the same cond so the carried
+                # (logdetCi, factors) pair always comes from ONE sweep.
+                def _on_accept(op):
+                    prop_ = op
+                    ld_, pj_, lg2, ok2 = sweep(
+                        ms, prop_, w, build_pred=refresh_pred,
+                        emit_pred_joint=True,
+                    )
+
+                    def _install(_):
+                        return (
+                            prop_,
+                            lg2,
+                            ld_,
+                            msg_gram(ms, ld_) if use_gram else (),
+                            pred_operators_from_joint(ms, prop_, pj_)
+                            if refresh_pred else None,
+                        )
+
+                    # the rebuild re-runs the decision sweep's math; ok2
+                    # can only diverge from the decision ok at a borderline
+                    # Cholesky (compiler fusion ulps) -- forward the old
+                    # state then, never install non-finite factors
+                    return jax.lax.cond(ok2, _install, _forward, None)
+
+                theta, logdetCi, leveldata, new_gram, new_pred = jax.lax.cond(
+                    accepted, _on_accept, _forward, prop
+                )
+            else:
+                theta = jnp.where(accepted, prop, theta)
+                logdetCi = jnp.where(accepted, new_logdet, logdetCi)
+
+                def _on_accept(op):
+                    prop_, pj_, ld_ = op
+                    return (
+                        ld_,
+                        msg_gram(ms, ld_) if use_gram else (),
+                        pred_operators_from_joint(ms, prop_, pj_)
+                        if refresh_pred else None,
+                    )
+
+                leveldata, new_gram, new_pred = jax.lax.cond(
+                    accepted, _on_accept, lambda op: _forward(None)[2:],
+                    (prop, new_pj, new_ld),
+                )
             if use_gram:
                 gram = new_gram
             if refresh_pred:
@@ -1125,7 +1182,11 @@ def run_mcmc_chains(
         ms.materialize_device()  # see run_mcmc
 
     def _keep_body(m, carry, xs):
-        st = make_step(m, bounds, cfg)
+        # vmapped chains resolve accept_aware=None to OFF: vmap turns the
+        # accept-cond into both-branches-always, so the accept-aware form
+        # would pay decision + full sweep every iteration (see MCMCConfig)
+        st = make_step(m, bounds, cfg if cfg.accept_aware is not None
+                       else cfg._replace(accept_aware=False))
         # predicting flag stays UNBATCHED under the chain vmap (in_axes
         # None), so lax.cond survives vmap as a cond: burn chunks skip the
         # prediction work at runtime, exactly as in the single-chain path

@@ -369,7 +369,7 @@ def test_resume_chained_counts_survive(tmp_path):
     spamtree(y, X, coords, mcmc=dict(keep=10, burn=4),
              settings=dict(chunk=5), checkpoint_path=ck, **kw)
     with np.load(ck) as z:
-        assert tuple(z["geom_counts"]) == (5, 5, 10)
+        assert tuple(z["geom_counts"]) == (5, 5, 10, 1)
     # burn-extension resume with keep=6 < kept_done=10 and a DIFFERENT
     # chunk setting: burn-only continuation (rem_burn = 15-5 = 10 under
     # the pinned ipc=5), whose checkpoints must keep kept_done=10 and mc=5
@@ -378,7 +378,7 @@ def test_resume_chained_counts_survive(tmp_path):
                   checkpoint_path=ck, **kw)
     assert r1["burn_actual"] == 10 and r1["w_mcmc"].shape[0] == 0
     with np.load(ck) as z:
-        assert tuple(z["geom_counts"]) == (5, 15, 10)
+        assert tuple(z["geom_counts"]) == (5, 15, 10, 1)
     # final resume: all burn done, draws 2 more keeps on the mc=5 grid
     r2 = spamtree(y, X, coords, mcmc=dict(keep=12, burn=15),
                   settings=dict(chunk=3), resume_from=ck, **kw)
