@@ -412,3 +412,99 @@ def test_posterior_parity_limited_tree():
     rmspe_a = float(np.sqrt(np.mean((yhat_a[miss] - y_full[miss]) ** 2)))
     rmspe_b = float(np.sqrt(np.mean((yhat_b[miss] - y_full[miss]) ** 2)))
     assert abs(rmspe_a - rmspe_b) / rmspe_b < 0.10, (rmspe_a, rmspe_b)
+
+
+def test_posterior_parity_aligned_scale_fixed_theta():
+    """Chain-level oracle parity at a scale where the PARENT-ALIGNED thin
+    and prediction layouts actually activate (align_min_p=128 requires the
+    leftover level's propagated parent dimension P >= 128; at the other
+    oracle tests' n<=250 the aligned path never runs, so the layouts that
+    carry the n=1e5 benchmark were exactness-tested but never chain-level
+    validated).  n=2500 at cell_size=49 gives P=147 at the thin leftover
+    level and the all-missing prediction level -- both aligned.
+
+    theta is FIXED at a known value in both samplers (a dense oracle
+    theta-eval is O(n^3); fixed theta needs one factorization), so this
+    pins the aligned-layout likelihood factors, w-Gibbs message timing,
+    prediction operators, and conjugate beta/tausq at chain level.
+    Reference semantics bar: predict/w updates at spamtree_model.cpp
+    1011-1358."""
+    rng = np.random.default_rng(33)
+    n = 2500
+    coords = rng.uniform(size=(n, 2))
+    order = np.lexsort((np.arange(n), coords[:, 1], coords[:, 0]))
+    coords = coords[order]
+    sigma2, phi, tausq = 1.5, 5.0, 0.1
+    D = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+    CC = sigma2 * np.exp(-phi * D)
+    w_true = np.linalg.cholesky(CC + 1e-10 * np.eye(n)) @ rng.normal(size=n)
+    beta_true = np.array([1.0, -0.5])
+    X = rng.normal(size=(n, 2))
+    y_full = X @ beta_true + w_true + np.sqrt(tausq) * rng.normal(size=n)
+    y = y_full.copy()
+    miss = np.zeros(n, dtype=bool)
+    miss[rng.choice(n, size=200, replace=False)] = True
+    y[miss] = np.nan
+
+    seed = 17
+    keep, burn = 700, 300
+    th_fix = np.array([1.4, 1.0, 1.0, 5.2])
+    bounds = np.zeros((4, 2))
+    bounds[:, 0] = 1e-3
+    bounds[:, 1] = 30.0
+
+    tree = make_tree(
+        coords, np.isfinite(y), np.zeros(n, dtype=np.int64),
+        axis_cell_size=int(round(49 ** 0.5)), K=2,
+        rng=np.random.default_rng(seed),
+    )
+    # the point of this test: the aligned layouts must actually be active
+    from spamtree_tpu.model.core import ModelStatic
+    from spamtree_tpu.model.params import make_theta_spec
+    from spamtree_tpu.tree.schedule import build_schedule
+    sched = build_schedule(tree)
+    ts = make_theta_spec(2, 1)
+    ms_probe = ModelStatic(sched, coords, np.zeros(n, np.int64), y, X,
+                           ts.spec, dtype=jnp.float64)
+    assert any(ms_probe.level_aligned), "thin-level alignment did not activate"
+    assert any(ms_probe.pred_aligned), "pred alignment did not activate"
+
+    oracle = DenseOracle(
+        tree, coords, y, X, bounds, th_fix, start_tausq=0.1,
+        beta_Vi=0.01, tausq_ab=(2.01, 1.0), mcmcsd=0.05, seed=seed,
+    )
+    oc = oracle.run(keep=keep, burn=burn, sample_theta=False)
+
+    out = spamtree(
+        y, X, coords, cell_size=49,
+        mcmc=dict(keep=keep, burn=burn, thin=1),
+        prior=dict(toplim=30.0, tausq=(2.01, 1.0), beta=0.01),
+        starting=dict(theta=th_fix, tausq=0.1),
+        debug=dict(sample_theta=False),
+        dtype=jnp.float64, seed=seed,
+    )
+    assert np.array_equal(out["order"], np.arange(n))
+
+    for j in range(2):
+        a = out["beta_mcmc"][j, :, 0]
+        b = oc["beta"][:, j, 0]
+        se = np.hypot(_batch_se(a), _batch_se(b))
+        assert abs(a.mean() - b.mean()) < 5 * se, (j, a.mean(), b.mean(), se)
+    a, b = out["tausq_mcmc"][0], oc["tausq"][:, 0]
+    se = np.hypot(_batch_se(a), _batch_se(b))
+    assert abs(a.mean() - b.mean()) < 5 * se, (a.mean(), b.mean(), se)
+
+    w_a = out["w_mcmc"].mean(axis=0)
+    w_b = oc["w"].mean(axis=0)
+    sd_b = oc["w"].std(axis=0)
+    z = np.abs(w_a - w_b) / np.maximum(sd_b, 1e-3)
+    assert z.mean() < 0.35, z.mean()
+    assert np.corrcoef(w_a, w_b)[0, 1] > 0.99
+
+    yhat_a = out["yhat_mcmc"].mean(axis=0)
+    yhat_b = oc["yhat"].mean(axis=0)
+    rmspe_a = float(np.sqrt(np.mean((yhat_a[miss] - y_full[miss]) ** 2)))
+    rmspe_b = float(np.sqrt(np.mean((yhat_b[miss] - y_full[miss]) ** 2)))
+    assert abs(rmspe_a - rmspe_b) / rmspe_b < 0.10, (rmspe_a, rmspe_b)
+    sd_y = float(np.std(y_full[miss]))
+    assert rmspe_a < 0.7 * sd_y and rmspe_b < 0.7 * sd_y
