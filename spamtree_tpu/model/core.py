@@ -644,7 +644,7 @@ def _run_level(lvl: LevelArrays, nc: int, carry, body):
 
 def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
           quad_prev: tuple | None = None, emit_pred_joint: bool = False,
-          decision_only: bool = False):
+          decision_only: bool = False, upto: int | None = None):
     """Full root->leaf likelihood sweep for a theta value.
 
     Returns (leveldata tuple, pred_data, logdetCi scalar, ok flag), the
@@ -670,6 +670,12 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
     emitting rebuild runs inside the accept branch of the cond, so the ~73%
     rejected proposals never pay the emission or the cond's output
     forwarding over the full factor set.
+
+    ``upto`` truncates the level loop to ``ms.levels[:upto]`` — a
+    measurement-only knob for per-level cost attribution
+    (examples/bisect_levels.py).  The last included level's joint emission
+    has no consumer and is DCE'd, so truncated timings attribute each
+    level's emission to the level that consumes it.
     """
     if decision_only:
         assert quad_prev is not None, "decision_only requires quad_prev"
@@ -680,8 +686,10 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
     qc = jnp.zeros((), dtype=ms.dtype)
     ok = jnp.array(True)
     joints = {}
+    if upto is not None:
+        build_pred = False
 
-    for t, lvl_full in enumerate(ms.levels):
+    for t, lvl_full in list(enumerate(ms.levels))[:upto]:
         P = lvl_full.prows.shape[1]
         is_ref = ms.level_is_ref[t]
         gc = ms.level_group_c[t]
@@ -994,14 +1002,18 @@ def msg_gram(ms: ModelStatic, leveldata):
 
 
 def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
-            gram=None):
+            gram=None, upto: int | None = None):
     """Leaf->root blocked Gibbs update of w with child->parent scatter-add
     message accumulation (reference: gibbs_sample_w_std,
     spamtree_model.cpp:1011-1226).
 
     ``gram`` (from :func:`msg_gram`, recomputed only on theta acceptance)
     supplies the per-segment message Gram blocks; when None they are formed
-    in place (standalone callers, warm-up sweeps)."""
+    in place (standalone callers, warm-up sweeps).
+
+    ``upto`` truncates the leaf->root loop to the deepest ``upto`` levels —
+    measurement-only (examples/bisect_levels.py); undelivered parent messages
+    are folded into the unread sentinel slot ``w[n]`` to keep them live."""
     n = ms.n
     if y is None:
         y = ms.y
@@ -1010,7 +1022,10 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
     # per-parent-level accumulated messages: {t: (Sigi_x (B,S,S), Smu_x (B,S))}
     acc = {}
 
-    for t in reversed(range(len(ms.levels))):
+    order = list(reversed(range(len(ms.levels))))
+    if upto is not None:
+        order = order[:upto]
+    for t in order:
         lvl_full = ms.levels[t]
         data_full = leveldata[t]
         P = lvl_full.prows.shape[1]
@@ -1147,6 +1162,10 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
                     am = am.at[pvec].add(vs[a])
                     acc[tp] = (acc[tp][0] + aS[:Bp], acc[tp][1] + am[:Bp])
 
+    if upto is not None and acc:
+        # truncated run: keep undelivered messages live (sentinel slot unread)
+        extra = sum(jnp.sum(v[0]) + jnp.sum(v[1]) for v in acc.values())
+        w = w.at[n].add(extra)
     return w
 
 
