@@ -110,7 +110,8 @@ CONFIGS = {
 
 
 def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
-               n_chains=1, verbose=False, collect="all", chunk=None):
+               n_chains=1, verbose=False, collect="all", chunk=None,
+               const_model=None):
     from spamtree_tpu import spamtree
 
     c = CONFIGS[cfg_id]
@@ -125,7 +126,8 @@ def run_config(cfg_id, keep=None, burn=None, thin=None, cell_size=25,
         y - ybar, X, coords, mv_id=mv,
         cell_size=cell_size,
         mcmc=dict(keep=keep, burn=burn, thin=thin),
-        settings=dict(collect=collect, chunk=chunk),
+        settings=dict(collect=collect, chunk=chunk,
+                      const_model=const_model),
         verbose=verbose, precompile=True, n_chains=n_chains,
         **c["kwargs"],
     )
@@ -199,6 +201,11 @@ def main():
                          "larger amortizes per-chunk dispatch (~0.2 s each "
                          "through the relay), smaller tightens interrupt "
                          "granularity")
+    ap.add_argument("--const_model", default=None,
+                    choices=["true", "false", "hybrid"],
+                    help="how the model reaches XLA: constants / arguments "
+                         "/ hybrid (big leaves as arguments, small folded); "
+                         "default: auto by model size")
     ap.add_argument("--backend", default=None, choices=["cpu"],
                     help="run the SAME code on the XLA:CPU host backend -- "
                          "the measured same-code hardware baseline "
@@ -255,12 +262,15 @@ def main():
         # block a normal exit) -- the flush above is what lands the JSON line
         os._exit(3)
 
+    cm = {"true": True, "false": False, "hybrid": "hybrid",
+          None: None}[args.const_model]
     runs = []
     for i in range(max(args.repeats, 1)):
         runs.append(run_config(args.config, keep=args.keep, burn=args.burn,
                                thin=args.thin, cell_size=args.cell_size,
                                n_chains=args.n_chains, verbose=args.verbose,
-                               collect=args.collect, chunk=args.chunk))
+                               collect=args.collect, chunk=args.chunk,
+                               const_model=cm))
     ips_runs = [x["ips"] for x in runs]
     med = int(np.argsort(ips_runs)[len(ips_runs) // 2])
     r = dict(runs[med])  # headline = the median-throughput trial (copy:

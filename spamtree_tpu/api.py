@@ -129,6 +129,12 @@ def spamtree(
         for posterior quantiles/intervals, which moments alone cannot
         give.  wire_dtype controls the
         device->host format of w draws (auto: float16 for f32 models).
+        const_model: True bakes every model array into the program as
+        literals (fastest per-iteration, O(n) program), False passes them
+        as arguments (O(levels) program, required at n ~ 1e6), "hybrid"
+        folds only leaves below ~1 MB and passes the big ones as arguments
+        (seconds of lowering instead of minutes, MB-scale exec-cache
+        entries), None = auto by model size.
         factor_dtype="bfloat16" (EXPERIMENTAL, off by default) stores the
         propagated joint factors -- the sweep's largest transients -- in
         bf16 with all math still at model dtype.  30.0 -> 27.6 ms/iteration

@@ -21,6 +21,7 @@ theta-proposal sweep auto-rejects, mirroring the reference's try/catch ->
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -34,6 +35,7 @@ from spamtree_tpu.ops.covariance import (
     pairwise_cov_diag,
     unpack_theta,
 )
+from spamtree_tpu.ops import pallas_level
 from spamtree_tpu.ops.linalg import (
     chol_inv_masked,
     chol_masked,
@@ -612,6 +614,87 @@ def _assemble_joint(LAi, Rinv, H, P, S, gc, dtype):
     return jnp.concatenate([top, bot], axis=1)
 
 
+def _composed_enabled() -> bool:
+    """A/B gate for the parts-composed decision sweep (trace-time env)."""
+    return os.environ.get("SPAMTREE_COMPOSED_FACTORS", "1") not in (
+        "0", "false", "")
+
+
+def _compose_children(ms: ModelStatic, t: int) -> bool:
+    """Decision-mode check: may ref level ``t`` emit factor PARTS
+    (LAi, H, Rinv) instead of assembling its joint factor J?
+
+    True when every sweep-level consumer is a thin parent-ALIGNED unchunked
+    level whose parent layout is exactly [t's prows ; t's rows] -- then the
+    child can apply J = [[LAi, 0], [-Rinv H, Rinv]] block-structured and the
+    (B, P+S, P+S) joint (the sweep's largest tensor: 359 MB at n=1e5) is
+    never written or re-read.  Limited trees keep the plain factor (their
+    J is the small per-block inv-chol already)."""
+    if ms.limited_tree or ms.level_chunks[t] != 1:
+        return False
+    consumers = [c for c in range(len(ms.levels)) if ms.level_lp[c] == t]
+    if not consumers:
+        return False
+    P_t = ms.levels[t].prows.shape[1]
+    S_t = ms.levels[t].rows.shape[1]
+    return all(
+        (not ms.level_is_ref[c])
+        and ms.level_aligned[c]
+        and ms.level_chunks[c] == 1
+        and ms.level_group_c[c] <= 1
+        and ms.levels[c].prows.shape[1] == P_t + S_t
+        for c in consumers
+    )
+
+
+def _apply_parts_thin(parts, Kxc, wpar, dtype):
+    """Thin-level decision quantities from parent factor PARTS.
+
+    parts = (LAi, H, Rinv, gc_p) with LAi (G, Pp, Pp) grouped by the
+    parent's parent-major groups (G = B/gc_p), H (B, Sp, Pp),
+    Rinv (B, Sp, Sp); Kxc (B, P, S) with P = Pp + Sp rows ordered
+    [parent's ancestors ; parent's rows] (the aligned-layout invariant).
+
+    Exactly J @ Kxc and M'(J wpar) for J = [[LAi,0],[-Rinv H, Rinv]]:
+      M_top = LAi K_anc
+      M_bot = Rinv (K_par - H K_anc)
+      hk    = sum_p M_top^2 + sum_s M_bot^2
+      hw    = M_top' u_top + M_bot' u_bot,
+      u_top = LAi w_anc ; u_bot = Rinv (w_par - H w_anc)
+    Returns (hk, hw), both (B, S)."""
+    LAi, H, Rinv, gc_p = parts
+    B, P, S = Kxc.shape
+    Pp = 0 if LAi is None else LAi.shape[-1]
+    K_anc, K_par = Kxc[:, :Pp, :], Kxc[:, Pp:, :]
+    w_anc, w_par = wpar[:, :Pp], wpar[:, Pp:]
+    if Pp == 0:
+        # parent is the root level: J = Rinv alone
+        M_bot = jnp.einsum("bst,btu->bsu", Rinv, K_par)
+        hk = jnp.sum(M_bot * M_bot, axis=1)
+        u_bot = jnp.einsum("bst,bt->bs", Rinv, w_par)
+        return hk, jnp.einsum("bsu,bs->bu", M_bot, u_bot)
+    if gc_p <= 1:
+        M_top = jnp.einsum("bpq,bqs->bps", LAi, K_anc)
+        u_top = jnp.einsum("bpq,bq->bp", LAi, w_anc)
+    else:
+        G = B // gc_p
+        M_top = jnp.einsum(
+            "gpq,gcqs->gcps", LAi, K_anc.reshape(G, gc_p, Pp, S)
+        ).reshape(B, Pp, S)
+        u_top = jnp.einsum(
+            "gpq,gcq->gcp", LAi, w_anc.reshape(G, gc_p, Pp)
+        ).reshape(B, Pp)
+    HK = jnp.einsum("bsp,bpt->bst", H, K_anc)
+    M_bot = jnp.einsum("bst,btu->bsu", Rinv, K_par - HK)
+    hk = jnp.sum(M_top * M_top, axis=1) + jnp.sum(M_bot * M_bot, axis=1)
+    u_bot = jnp.einsum(
+        "bst,bt->bs", Rinv, w_par - jnp.einsum("bsp,bp->bs", H, w_anc)
+    )
+    hw = (jnp.einsum("bps,bp->bs", M_top, u_top)
+          + jnp.einsum("bsu,bs->bu", M_bot, u_bot))
+    return hk, hw
+
+
 def _bcov(ms: ModelStatic, params, cx1, mv1, cx2, mv2):
     """vmapped pairwise covariance over a leading block-batch axis."""
     return jax.vmap(lambda a, b, c, d: pairwise_cov(a, b, c, d, params, ms.spec))(
@@ -700,9 +783,74 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
         )
         parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
         prev_t = quad_prev[t] if quad_prev is not None else None
+        S_lvl = lvl_full.rows.shape[1]
+        # decision mode: emit factor PARTS instead of the assembled joint
+        # when every consumer can apply them block-structured (the (B, P+S,
+        # P+S) joint -- 359 MB at n=1e5 -- is never written or re-read)
+        compose = (
+            decision_only and is_ref and emit_joint
+            and _composed_enabled() and _compose_children(ms, t)
+        )
+
+        if (decision_only and not is_ref and P > 0 and gc <= 1
+                and ms.level_chunks[t] == 1 and parent_joint is not None):
+            kernel_ok = (
+                not isinstance(parent_joint, tuple)
+                and P <= pallas_level.MAX_P and S_lvl <= pallas_level.MAX_S
+                and pallas_level.use_level_kernels(ms.dtype)
+            )
+            if kernel_ok or isinstance(parent_joint, tuple):
+                lvl = lvl_full
+                cxr = ms.coords[lvl.rows]
+                mvr = ms.mv[lvl.rows]
+                cxp = ms.coords[lvl.prows]
+                mvp = ms.mv[lvl.prows]
+                Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
+                Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
+                kdiag = jax.vmap(
+                    lambda a, b: pairwise_cov_diag(a, b, params, ms.spec)
+                )(cxr, mvr)
+                if isinstance(parent_joint, tuple):
+                    # composed parts: thin-level decision without the joint
+                    w_r = w[lvl.rows]
+                    wpar = w[lvl.prows]
+                    hk, hw = _apply_parts_thin(
+                        parent_joint, Kxc, wpar, ms.dtype
+                    )
+                    r = jnp.where(lvl.rmask, kdiag - hk, 1.0)
+                    okl = jnp.isfinite(r) & (r > 0)
+                    ok = ok & jnp.all(okl)
+                    r = jnp.where(okl, r, 1.0)
+                    logdet = logdet - 0.5 * jnp.sum(
+                        jnp.where(lvl.rmask, jnp.log(r), 0.0)
+                    )
+                    wx = w_r - hw
+                    qn = qn - 0.5 * jnp.sum(wx * wx / r)
+                    wxc = w_r - jnp.einsum("bsp,bp->bs", prev_t.H, wpar)
+                    qc = qc - 0.5 * jnp.sum(prev_t.prec * wxc * wxc)
+                else:
+                    # fused thin-level kernel: the whole level (cov apply,
+                    # conditional variance, both quadratic forms) as ONE
+                    # pallas_call -- the (B, P, P) factor batch streams
+                    # through VMEM once, no intermediate returns to HBM
+                    ld_b, ok_b, qn_b, qc_b = pallas_level.thin_decision_level(
+                        Kxc, parent_joint, lvl.lp_pos, w[lvl.prows],
+                        w[lvl.rows], prev_t.H, prev_t.prec, kdiag,
+                        lvl.rmask.astype(ms.dtype),
+                        aligned=al, interpret=pallas_level._interpret(),
+                    )
+                    logdet = logdet + ld_b
+                    ok = ok & ok_b
+                    qn = qn + qn_b
+                    qc = qc + qc_b
+                for k in [k for k, last in ms.last_consumer.items()
+                          if last == t]:
+                    joints.pop(k, None)
+                continue
 
         def level_body(carry, args, P=P, is_ref=is_ref, emit_joint=emit_joint,
-                       parent_joint=parent_joint, gc=gc, al=al):
+                       parent_joint=parent_joint, gc=gc, al=al,
+                       compose=compose):
             logdet, ok, qn, qc = carry
             lvl, prev = args
             B, S = lvl.rows.shape
@@ -752,7 +900,7 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                                  if P > 0 else 0.0)
                     qc = qc - 0.5 * jnp.einsum("bs,bst,bt->", wxc, prev.prec, wxc)
                 J = None
-                if emit_joint:
+                if emit_joint and not compose:
                     if ms.limited_tree:
                         # limited tree: children condition on this block's
                         # rows alone -> factor is inv-chol of the raw Kcc
@@ -769,7 +917,14 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                         # inside the child-apply GEMMs (see __init__ note)
                         J = J.astype(ms.factor_dtype)
                 if decision_only:
-                    outs = (J,) if emit_joint else ()
+                    if emit_joint and compose:
+                        # factor parts; the thin consumers apply them
+                        # block-structured (_apply_parts_thin)
+                        outs = (LAi, H, Rinv)
+                    elif emit_joint:
+                        outs = (J,)
+                    else:
+                        outs = ()
                     return (logdet, ok, qn, qc), outs
                 prec = jnp.einsum("bks,bkt->bst", Rinv, Rinv)
                 outs = (H, prec, J) if emit_joint else (H, prec)
@@ -823,7 +978,9 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                 lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outs
             )
         if decision_only:
-            if emit_joint:
+            if emit_joint and compose:
+                joints[t] = (*outs, gc)  # (LAi, H, Rinv, gc_p) parts
+            elif emit_joint:
                 joints[t] = outs[0]
         elif emit_joint:
             H, prec, J = outs
@@ -1001,6 +1158,33 @@ def msg_gram(ms: ModelStatic, leveldata):
     return tuple(out)
 
 
+def _route_messages(ms: ModelStatic, acc: dict, t: int, seg_off, outs):
+    """Route a level's per-segment Gibbs messages to their parent levels:
+    dense assignment GEMM when the routing matrix is small enough, else a
+    position scatter-add into the parent-level accumulator."""
+    Gs, vs = outs
+    for a in range(len(seg_off)):
+        tp = ms.seg_level[t][a]
+        Bp, Sp = ms.levels[tp].rows.shape
+        if tp not in acc:
+            acc[tp] = (
+                jnp.zeros((Bp, Sp, Sp), dtype=ms.dtype),
+                jnp.zeros((Bp, Sp), dtype=ms.dtype),
+            )
+        if (t, a) in ms.assign:
+            A = ms.assign[(t, a)]  # (Bp, Bc)
+            add_S = jnp.einsum("pc,cij->pij", A, Gs[a])
+            add_m = A @ vs[a]
+            acc[tp] = (acc[tp][0] + add_S, acc[tp][1] + add_m)
+        else:
+            pvec = ms.anc_pos[(t, a)]  # (Bc,) sentinel Bp
+            aS = jnp.zeros((Bp + 1, Sp, Sp), dtype=ms.dtype)
+            aS = aS.at[pvec].add(Gs[a])
+            am = jnp.zeros((Bp + 1, Sp), dtype=ms.dtype)
+            am = am.at[pvec].add(vs[a])
+            acc[tp] = (acc[tp][0] + aS[:Bp], acc[tp][1] + am[:Bp])
+
+
 def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
             gram=None, upto: int | None = None):
     """Leaf->root blocked Gibbs update of w with child->parent scatter-add
@@ -1036,6 +1220,37 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
         gram_t = None
         if gram is not None and P > 0:
             gram_t = gram[t]
+
+        # fused thin-level kernel: prior mean, posterior draw, and the full
+        # parent message vector in ONE pallas_call (the stored (B, S, P)
+        # operator H streams through VMEM once); the per-segment Gram
+        # additions and parent routing stay outside -- cross-block GEMMs
+        if (not is_ref and P > 0 and nc == 1 and acc_t is None
+                and gram_t is not None
+                and P <= pallas_level.MAX_P
+                and lvl_full.rows.shape[1] <= pallas_level.MAX_S
+                and pallas_level.use_level_kernels(ms.dtype)):
+            lvl = lvl_full
+            wpar = w[lvl.prows]
+            ti = tl[lvl.rows]
+            resid = ti * (y[lvl.rows] - XB[lvl.rows])
+            wu, msg_full = pallas_level.thin_gibbs_level(
+                leveldata[t].H, leveldata[t].prec, wpar, bigz[lvl.rows],
+                ti, resid, lvl.rmask.astype(ms.dtype),
+                interpret=pallas_level._interpret(),
+            )
+            w = w.at[lvl.rows].set(wu)
+            Gs, vs = [], []
+            for a, (o, sa) in enumerate(zip(seg_off, seg_size)):
+                G_aa = gram_t[a]
+                msg_a = msg_full[:, o : o + sa] + jnp.einsum(
+                    "bpq,bq->bp", G_aa, wpar[:, o : o + sa]
+                )
+                Gs.append(G_aa)
+                vs.append(msg_a)
+            outs = (tuple(Gs), tuple(vs))
+            _route_messages(ms, acc, t, seg_off, outs)
+            continue
 
         def level_body(w, args, P=P, is_ref=is_ref, acc_t=acc_t):
             lvl, data, acc_sl, gram_sl = args
@@ -1136,31 +1351,8 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
                 lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outs
             )
 
-        # route the per-segment messages to their parent levels: dense
-        # assignment GEMM when the routing matrix is small enough, else a
-        # position scatter-add into the parent-level accumulator
         if P > 0:
-            Gs, vs = outs
-            for a in range(len(seg_off)):
-                tp = ms.seg_level[t][a]
-                Bp, Sp = ms.levels[tp].rows.shape
-                if tp not in acc:
-                    acc[tp] = (
-                        jnp.zeros((Bp, Sp, Sp), dtype=ms.dtype),
-                        jnp.zeros((Bp, Sp), dtype=ms.dtype),
-                    )
-                if (t, a) in ms.assign:
-                    A = ms.assign[(t, a)]  # (Bp, Bc)
-                    add_S = jnp.einsum("pc,cij->pij", A, Gs[a])
-                    add_m = A @ vs[a]
-                    acc[tp] = (acc[tp][0] + add_S, acc[tp][1] + add_m)
-                else:
-                    pvec = ms.anc_pos[(t, a)]  # (Bc,) sentinel Bp
-                    aS = jnp.zeros((Bp + 1, Sp, Sp), dtype=ms.dtype)
-                    aS = aS.at[pvec].add(Gs[a])
-                    am = jnp.zeros((Bp + 1, Sp), dtype=ms.dtype)
-                    am = am.at[pvec].add(vs[a])
-                    acc[tp] = (acc[tp][0] + aS[:Bp], acc[tp][1] + am[:Bp])
+            _route_messages(ms, acc, t, seg_off, outs)
 
     if upto is not None and acc:
         # truncated run: keep undelivered messages live (sentinel slot unread)

@@ -21,6 +21,8 @@ import numpy as np
 
 from spamtree_tpu.model.core import (
     ModelStatic,
+    _ms_flatten,
+    _ms_unflatten,
     gibbs_beta,
     gibbs_tausq,
     gibbs_w,
@@ -804,6 +806,71 @@ def _chunk_cost(ex):
         return 0.0, 0.0
 
 
+def _split_big_leaves(ms: ModelStatic, thresh: float | None = None):
+    """Middle const-model point (``const_model="hybrid"``): model leaves
+    above ``thresh`` bytes become jit ARGUMENTS, everything else folds into
+    the program as literal constants.
+
+    The O(n) cost of full const mode is the host-side lowering of the big
+    leaves as dense literals (113 s of the 156 s cold setup at n=1e5,
+    BENCH_r03 ``lower_s``) plus the resulting ~600 MB exec-cache entries;
+    the measured win of const mode over argument mode comes from folding the
+    SMALL static index/mask arrays into the program.  Splitting at ~1 MB
+    keeps that folding while the program stays O(levels).
+
+    Returns (big_leaves, rebuild) where ``rebuild(big_args)`` reassembles a
+    ModelStatic from traced big leaves + constant small leaves."""
+    import os as _os
+
+    if thresh is None:
+        thresh = float(_os.environ.get("SPAMTREE_HYBRID_CONST_BYTES", 1e6))
+    arrays, static = _ms_flatten(ms)
+    flat, treedef = jax.tree.flatten(arrays)
+    big_ix = tuple(
+        i for i, a in enumerate(flat)
+        if getattr(a, "size", 0) * a.dtype.itemsize > thresh
+    )
+    big_set = set(big_ix)
+    small = [None if i in big_set else a for i, a in enumerate(flat)]
+    big = [flat[i] for i in big_ix]
+
+    def rebuild(big_args):
+        f2 = list(small)
+        for i, a in zip(big_ix, big_args):
+            f2[i] = a
+        return _ms_unflatten(static, jax.tree.unflatten(treedef, f2))
+
+    return big, rebuild
+
+
+def _model_mode_dispatch(const_model, ms: ModelStatic, _keep_body):
+    """How the model reaches the chunk program: constants ("const" / True),
+    arguments (False), or the hybrid middle point ("hybrid": big leaves as
+    arguments, small index/mask leaves folded -- see _split_big_leaves).
+    Returns (keep_scan, _lower_keep, _wrap), each with the uniform
+    ``(ms, carry, xs)`` call signature."""
+    if const_model == "hybrid":
+        ms.materialize_device()
+        _big, _rebuild = _split_big_leaves(ms)
+        _keep_h = partial(jax.jit, donate_argnums=1)(
+            lambda big_args, c, xs: _keep_body(_rebuild(big_args), c, xs)
+        )
+        return (
+            lambda m, c, xs: _keep_h(_big, c, xs),
+            lambda m, c, xs: _keep_h.lower(_big, c, xs),
+            lambda ex: (lambda m, c, xs: ex(_big, c, xs)),
+        )
+    if const_model:
+        _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
+        return (
+            lambda m, c, xs: _keep_c(c, xs),
+            lambda m, c, xs: _keep_c.lower(c, xs),
+            lambda ex: (lambda m, c, xs: ex(c, xs)),
+        )
+    keep_scan = partial(jax.jit, donate_argnums=1)(_keep_body)
+    return keep_scan, keep_scan.lower, (lambda ex: ex)
+
+
 def run_mcmc(
     ms: ModelStatic,
     bounds: np.ndarray,
@@ -877,7 +944,7 @@ def run_mcmc(
             mesh is None
             and getattr(ms, "approx_device_bytes", float("inf")) <= limit
         )
-    if not const_model:
+    if const_model != "hybrid" and not const_model:
         # argument mode passes ms's leaves to the program every dispatch;
         # they must live on device (no-op when already materialized/sharded)
         ms.materialize_device()
@@ -924,15 +991,9 @@ def run_mcmc(
             ys = (*ys[:3], ys[3][::sub_stride])
         return c2, ys
 
-    if const_model:
-        _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
-        keep_scan = lambda m, c, xs: _keep_c(c, xs)
-        _lower_keep = lambda m, c, xs: _keep_c.lower(c, xs)
-        _wrap = lambda ex: (lambda m, c, xs: ex(c, xs))
-    else:
-        keep_scan = partial(jax.jit, donate_argnums=1)(_keep_body)
-        _lower_keep = keep_scan.lower
-        _wrap = lambda ex: ex
+    keep_scan, _lower_keep, _wrap = _model_mode_dispatch(
+        const_model, ms, _keep_body
+    )
 
     def _keys_chunk(sub):
         ck = jax.random.split(sub, mc * (cfg.thin + 1)).reshape(
@@ -1178,7 +1239,7 @@ def run_mcmc_chains(
             mesh is None
             and getattr(ms, "approx_device_bytes", float("inf")) <= limit
         )
-    if not const_model:
+    if const_model != "hybrid" and not const_model:
         ms.materialize_device()  # see run_mcmc
 
     def _keep_body(m, carry, xs):
@@ -1226,15 +1287,9 @@ def run_mcmc_chains(
             ys = (*ys[:3], ys[3][::sub_stride])
         return c2, ys
 
-    if const_model:
-        _keep_c = partial(jax.jit, donate_argnums=0)(partial(_keep_body, ms))
-        keep_scan = lambda m, c, xs: _keep_c(c, xs)
-        _lower_keep = lambda m, c, xs: _keep_c.lower(c, xs)
-        _wrap = lambda ex: (lambda m, c, xs: ex(c, xs))
-    else:
-        keep_scan = partial(jax.jit, donate_argnums=1)(_keep_body)
-        _lower_keep = keep_scan.lower
-        _wrap = lambda ex: ex
+    keep_scan, _lower_keep, _wrap = _model_mode_dispatch(
+        const_model, ms, _keep_body
+    )
 
     # per-chain key streams: split each chain's carried key into (next key,
     # m iteration keys) -- the user's per-chain seeds drive everything
