@@ -95,7 +95,9 @@ def main(n_per_q=50000, cell_size=25):
             ms, s.theta * 1.001, s.w, quad_prev=s.leveldata,
             decision_only=True)[0])
         t_gw = piece(lambda s, k: gibbs_w(
-            ms, s.leveldata, s.w, s.tausq_inv, s.XB, k, gram=s.gram))
+            ms, s.leveldata, s.w, s.tausq_inv, s.XB, k,
+            gram=s.gram[0] if len(s.gram) else None,
+            routed=s.gram[1] if len(s.gram) else None))
         t1 = step_scan(1, st)
         t21 = step_scan(21, st)
         print(f"[{tag}] decision sweep {t_dec:7.2f} ms | w-gibbs(gram) "

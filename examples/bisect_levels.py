@@ -108,8 +108,8 @@ def main(n_per_q=50000, cell_size=25):
     prev = 0.0
     for k in range(1, L + 1):
         f = jax.jit(lambda m, ld, w, ti, xb, kk, k=k: gibbs_w(
-            m, ld, w, ti, xb, kk, gram=st.gram if len(st.gram) else None,
-            upto=k))
+            m, ld, w, ti, xb, kk, gram=st.gram[0] if len(st.gram) else None,
+            routed=st.gram[1] if len(st.gram) else None, upto=k))
         ms_k = _t(lambda: f(ms, st.leveldata, st.w, st.tausq_inv, st.XB, key))
         print(f"  deepest {k}: {ms_k:7.2f} ms  (delta {ms_k - prev:+6.2f})")
         prev = ms_k

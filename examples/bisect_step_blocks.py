@@ -7,6 +7,7 @@ Round-3 finding at n=1e5 (BENCH_RESULTS.md): no-theta = 10.3 ms ~ w-Gibbs
 donated scan carry is ~free; the full-step residual beyond the measured
 pieces lives inside the theta-MH block (accept-cond output
 materialization + on-accept derived rebuilds)."""
+import os
 import sys
 import time
 
@@ -36,6 +37,7 @@ def main(n_per_q=50000, cell_size=25):
     tspec = make_theta_spec(2, 2)
     ms = ModelStatic(sched, coords, mv - 1, y, X, tspec.spec)
 
+    only = [s for s in os.environ.get("BISECT_ONLY", "").split(",") if s]
     for name, cfg in (
         ("full step       ", MCMCConfig()),
         # pinned MH decisions split the theta-block residual: forced-reject
@@ -44,11 +46,16 @@ def main(n_per_q=50000, cell_size=25):
         # + sweep + p*accept_cost + (1-p)*reject_cost
         ("forced-reject   ", MCMCConfig(force_accept=0)),
         ("forced-accept   ", MCMCConfig(force_accept=1)),
+        # decision math without the install cond: (forced-reject -
+        # no-install) isolates the cond+install machinery exactly
+        ("no-install      ", MCMCConfig(theta_no_install=True)),
         ("no-theta step   ", MCMCConfig(sample_theta=False)),
         ("w-only step     ", MCMCConfig(sample_theta=False, sample_beta=False,
                                         sample_tausq=False,
                                         sample_predicts=False)),
     ):
+        if only and not any(name.startswith(o) for o in only):
+            continue
         st = init_state(ms, tspec.bounds, tspec.start, cfg=cfg, seed=0)
         step = make_step(ms, tspec.bounds, cfg)
 

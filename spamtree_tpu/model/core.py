@@ -1158,47 +1158,112 @@ def msg_gram(ms: ModelStatic, leveldata):
     return tuple(out)
 
 
-def _route_messages(ms: ModelStatic, acc: dict, t: int, seg_off, outs):
+def _route_messages(ms: ModelStatic, acc: dict, t: int, seg_off, outs,
+                    vs_only: bool = False):
     """Route a level's per-segment Gibbs messages to their parent levels:
     dense assignment GEMM when the routing matrix is small enough, else a
-    position scatter-add into the parent-level accumulator."""
+    position scatter-add into the parent-level accumulator.
+
+    ``vs_only=True`` (the carried-``routed`` fast path, see
+    :func:`route_gram`) routes only the w-dependent mean messages ``vs``;
+    the Gram halves are w-independent and come precomputed per accepted
+    theta, so the per-iteration (Bp, Sp, Sp) routing GEMMs disappear."""
     Gs, vs = outs
     for a in range(len(seg_off)):
         tp = ms.seg_level[t][a]
         Bp, Sp = ms.levels[tp].rows.shape
         if tp not in acc:
             acc[tp] = (
-                jnp.zeros((Bp, Sp, Sp), dtype=ms.dtype),
+                None if vs_only
+                else jnp.zeros((Bp, Sp, Sp), dtype=ms.dtype),
                 jnp.zeros((Bp, Sp), dtype=ms.dtype),
             )
         if (t, a) in ms.assign:
             A = ms.assign[(t, a)]  # (Bp, Bc)
-            add_S = jnp.einsum("pc,cij->pij", A, Gs[a])
             add_m = A @ vs[a]
-            acc[tp] = (acc[tp][0] + add_S, acc[tp][1] + add_m)
+            if vs_only:
+                acc[tp] = (None, acc[tp][1] + add_m)
+            else:
+                add_S = jnp.einsum("pc,cij->pij", A, Gs[a])
+                acc[tp] = (acc[tp][0] + add_S, acc[tp][1] + add_m)
         else:
             pvec = ms.anc_pos[(t, a)]  # (Bc,) sentinel Bp
-            aS = jnp.zeros((Bp + 1, Sp, Sp), dtype=ms.dtype)
-            aS = aS.at[pvec].add(Gs[a])
             am = jnp.zeros((Bp + 1, Sp), dtype=ms.dtype)
             am = am.at[pvec].add(vs[a])
-            acc[tp] = (acc[tp][0] + aS[:Bp], acc[tp][1] + am[:Bp])
+            if vs_only:
+                acc[tp] = (None, acc[tp][1] + am[:Bp])
+            else:
+                aS = jnp.zeros((Bp + 1, Sp, Sp), dtype=ms.dtype)
+                aS = aS.at[pvec].add(Gs[a])
+                acc[tp] = (acc[tp][0] + aS[:Bp], acc[tp][1] + am[:Bp])
+
+
+def route_gram(ms: ModelStatic, gram):
+    """Per-parent-level sums of the routed Gibbs-message Gram blocks.
+
+    ``gibbs_w``'s child->parent Sigi accumulation splits into a w-dependent
+    mean half (the ``vs`` vectors) and a w-INDEPENDENT Gram half: the routed
+    ``G_aa = H_a' prec H_a`` blocks are pure functions of the stored factors,
+    which change only on theta acceptance.  Routing them per iteration cost
+    one (Bp, Sp, Sp) assignment GEMM / scatter-add per (level, segment) —
+    ~20 serialized kernels per w-Gibbs at the n=1e5 depth-7 config, on a
+    machine where each in-program kernel carries ~0.3 ms of dispatch latency
+    (BENCH_RESULTS round-4 attribution).  This precomputes the per-level
+    sums once per acceptance (make_step's accept-cond, next to
+    :func:`msg_gram`); the accumulation order matches gibbs_w's leaf->root
+    visit exactly, so the carried-routed path is bit-identical.
+
+    Returns a tuple over levels: (Bp, Sp, Sp) for levels that receive
+    messages, ``()`` otherwise.
+    """
+    acc = {}
+    for t in reversed(range(len(ms.levels))):
+        if ms.levels[t].prows.shape[1] == 0:
+            continue
+        seg_off, seg_size = ms.level_segs[t]
+        Gs = gram[t]
+        for a in range(len(seg_off)):
+            tp = ms.seg_level[t][a]
+            Bp, Sp = ms.levels[tp].rows.shape
+            if tp not in acc:
+                acc[tp] = jnp.zeros((Bp, Sp, Sp), dtype=ms.dtype)
+            if (t, a) in ms.assign:
+                A = ms.assign[(t, a)]
+                acc[tp] = acc[tp] + jnp.einsum("pc,cij->pij", A, Gs[a])
+            else:
+                pvec = ms.anc_pos[(t, a)]
+                aS = jnp.zeros((Bp + 1, Sp, Sp), dtype=ms.dtype)
+                aS = aS.at[pvec].add(Gs[a])
+                acc[tp] = acc[tp] + aS[:Bp]
+    return tuple(acc.get(t, ()) for t in range(len(ms.levels)))
+
+
+def gram_full(ms: ModelStatic, leveldata):
+    """(msg_gram, route_gram) pair -- the accept-refreshed carried state."""
+    g = msg_gram(ms, leveldata)
+    return g, route_gram(ms, g)
 
 
 def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
-            gram=None, upto: int | None = None):
+            gram=None, routed=None, upto: int | None = None):
     """Leaf->root blocked Gibbs update of w with child->parent scatter-add
     message accumulation (reference: gibbs_sample_w_std,
     spamtree_model.cpp:1011-1226).
 
     ``gram`` (from :func:`msg_gram`, recomputed only on theta acceptance)
     supplies the per-segment message Gram blocks; when None they are formed
-    in place (standalone callers, warm-up sweeps).
+    in place (standalone callers, warm-up sweeps).  ``routed`` (from
+    :func:`route_gram`, refreshed with gram) additionally supplies the
+    per-parent-level SUMS of the routed Gram blocks, removing every
+    per-iteration (Bp, Sp, Sp) Sigi-routing GEMM/scatter from the pass —
+    bit-identical to routing in place (matching accumulation order).
 
     ``upto`` truncates the leaf->root loop to the deepest ``upto`` levels —
     measurement-only (examples/bisect_levels.py); undelivered parent messages
     are folded into the unread sentinel slot ``w[n]`` to keep them live."""
     n = ms.n
+    if routed is not None:
+        assert gram is not None, "routed requires the matching gram blocks"
     if y is None:
         y = ms.y
     tl = ms.tausq_long(tausq_inv)
@@ -1217,6 +1282,11 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
         seg_off, seg_size = ms.level_segs[t]
         nc = ms.level_chunks[t]
         acc_t = acc.pop(t, None)
+        if routed is not None and is_ref and not isinstance(routed[t], tuple):
+            # precomputed Sigi message sum for this level (see route_gram);
+            # the in-place acc then carries only the w-dependent Smu half
+            acc_t = (routed[t], acc_t[1] if acc_t is not None
+                     else jnp.zeros(lvl_full.rows.shape, dtype=ms.dtype))
         gram_t = None
         if gram is not None and P > 0:
             gram_t = gram[t]
@@ -1249,7 +1319,8 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
                 Gs.append(G_aa)
                 vs.append(msg_a)
             outs = (tuple(Gs), tuple(vs))
-            _route_messages(ms, acc, t, seg_off, outs)
+            _route_messages(ms, acc, t, seg_off, outs,
+                            vs_only=routed is not None)
             continue
 
         def level_body(w, args, P=P, is_ref=is_ref, acc_t=acc_t):
@@ -1269,7 +1340,8 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
                 Sigi = data.prec + ti[:, :, None] * jnp.eye(S, dtype=ms.dtype)
                 Smu = jnp.einsum("bst,bt->bs", data.prec, hw_prior) + resid
                 if acc_sl is not None:
-                    Sigi = Sigi + acc_sl[0]
+                    if acc_sl[0] is not None:
+                        Sigi = Sigi + acc_sl[0]
                     Smu = Smu + acc_sl[1]
                 if ms.use_pallas and S <= 64:
                     _, Lci, _ = chol_inv_masked(Sigi, lvl.rmask, True)
@@ -1316,6 +1388,10 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
                     )
                     Gs.append(G_aa)
                     vs.append(msg_a)
+                if routed is not None:
+                    # Gram halves route precomputed (route_gram); don't emit
+                    # them through the chunked scan's output stacking
+                    return w, ((), tuple(vs))
                 return w, (tuple(Gs), tuple(vs))
             return w, ()
 
@@ -1352,11 +1428,15 @@ def gibbs_w(ms: ModelStatic, leveldata, w, tausq_inv, XB, key, y=None,
             )
 
         if P > 0:
-            _route_messages(ms, acc, t, seg_off, outs)
+            _route_messages(ms, acc, t, seg_off, outs,
+                            vs_only=routed is not None)
 
     if upto is not None and acc:
         # truncated run: keep undelivered messages live (sentinel slot unread)
-        extra = sum(jnp.sum(v[0]) + jnp.sum(v[1]) for v in acc.values())
+        extra = sum(
+            (0.0 if v[0] is None else jnp.sum(v[0])) + jnp.sum(v[1])
+            for v in acc.values()
+        )
         w = w.at[n].add(extra)
     return w
 

@@ -27,6 +27,8 @@ from spamtree_tpu.model.core import (
     gibbs_tausq,
     gibbs_w,
     msg_gram,
+    gram_full,
+    route_gram,
     pred_operators_from_joint,
     predict,
     predict_recompute,
@@ -50,7 +52,8 @@ class MCMCState(NamedTuple):
     logdetCi: jax.Array
     ram: RAMState
     it: jax.Array  # iteration counter for RAM warmup
-    # per-segment Gibbs-message Gram blocks (core.msg_gram), refreshed only
+    # (core.msg_gram, core.route_gram) pair: per-segment Gibbs-message Gram
+    # blocks + their precomputed per-level routed Sigi sums, refreshed only
     # on theta acceptance; () disables the carried-gram path (vmapped chains:
     # lax.cond degenerates to both-branches under vmap, so chains recompute
     # in place inside gibbs_w instead)
@@ -107,6 +110,10 @@ class MCMCConfig(NamedTuple):
     # branch (still gated by the Cholesky ok flag) so the accept-cond's two
     # paths can be timed separately (examples/bisect_step_blocks.py)
     force_accept: object = None
+    # MEASUREMENT ONLY: run the full MH decision (sweep + accept prob + RAM
+    # adapt) but skip the install cond entirely -- isolates the cond+install
+    # machinery from the decision math (examples/bisect_step_blocks.py)
+    theta_no_install: bool = False
     # Accept-aware theta step (None = auto): the proposal runs a
     # DECISION-ONLY sweep (loglik + fused quadratic forms, no factor/H/prec
     # emission) and the factor-emitting rebuild runs INSIDE the accept
@@ -196,11 +203,11 @@ def init_state(
             leveldata, pred_data, logdet, ok, gram = precomputed
         else:
             leveldata, pred_data, logdet, ok = precomputed
-            gram = jax.jit(msg_gram)(ms, leveldata)
+            gram = jax.jit(gram_full)(ms, leveldata)
     else:
         def _init_sweep(m, th, ww):
             ld, pd, lg, okk = sweep(m, th, ww)
-            return ld, pd, lg, okk, msg_gram(m, ld)
+            return ld, pd, lg, okk, gram_full(m, ld)
 
         leveldata, pred_data, logdet, ok, gram = cached_compile(
             jax.jit(_init_sweep).lower(ms, theta, w)
@@ -233,7 +240,7 @@ def _lazy_builder(ms: ModelStatic, nt: int):
     ld_s, pd_s, _lg, _ok = jax.eval_shape(
         lambda m, th, ww: sweep(m, th, ww), ms, th_s, w_s
     )
-    g_s = jax.eval_shape(msg_gram, ms, ld_s)
+    g_s = jax.eval_shape(gram_full, ms, ld_s)
 
     def _build_impl(X, mv_onehot, seed, w, beta, tausq_inv, theta, sd):
         XB = jnp.append(
@@ -312,8 +319,12 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
         use_gram = len(gram) > 0  # static: () = recompute-in-place mode
 
         if cfg.sample_w:
+            # carried gram is the (msg_gram, route_gram) pair: per-segment
+            # Gram blocks for the mean messages plus the precomputed
+            # per-level Sigi routing sums (core.route_gram)
             w = gibbs_w(ms, leveldata, w, state.tausq_inv, state.XB, kw,
-                        gram=gram if use_gram else None)
+                        gram=gram[0] if use_gram else None,
+                        routed=gram[1] if use_gram else None)
 
         if cfg.sample_theta:
             accept_aware = cfg.accept_aware
@@ -364,7 +375,15 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                     state.pred_data if refresh_pred else None,
                 )
 
-            if accept_aware:
+            if cfg.theta_no_install:
+                # measurement-only (see MCMCConfig): full decision math, no
+                # install cond.  Tie the decision scalar into the carry so
+                # the sweep isn't DCE'd; all carried state stays as-is.
+                logdetCi = logdetCi + 0.0 * jnp.where(
+                    accepted, new_logdet, logdetCi
+                )
+                new_gram, new_pred = gram, pred_data
+            elif accept_aware:
                 # the factor-emitting rebuild runs INSIDE the accept branch:
                 # only the ~27% accepted proposals pay it, and the reject
                 # branch is a pure identity on the carried buffers.  theta
@@ -382,7 +401,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                             prop_,
                             lg2,
                             ld_,
-                            msg_gram(ms, ld_) if use_gram else (),
+                            gram_full(ms, ld_) if use_gram else (),
                             pred_operators_from_joint(ms, prop_, pj_)
                             if refresh_pred else None,
                         )
@@ -404,7 +423,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                     prop_, pj_, ld_ = op
                     return (
                         ld_,
-                        msg_gram(ms, ld_) if use_gram else (),
+                        gram_full(ms, ld_) if use_gram else (),
                         pred_operators_from_joint(ms, prop_, pj_)
                         if refresh_pred else None,
                     )

@@ -29,7 +29,7 @@ import numpy as np
 from spamtree_tpu.model.core import (
     ModelStatic,
     gibbs_w,
-    msg_gram,
+    gram_full,
     sweep,
 )
 from spamtree_tpu.model.transforms import transf_back, transf_fwd
@@ -96,7 +96,7 @@ def prepare_chain(
     def _prep(m, theta, zs, key):
         w0 = jnp.zeros((m.n + 1,), dtype=dt)
         ld, pd, logdet, ok = sweep(m, theta, w0, build_pred=True)
-        gram = msg_gram(m, ld)
+        gram = gram_full(m, ld)
         if not do_curvature:
             return ld, pd, logdet, ok, gram
         # settle w with a few Gibbs sweeps at theta0 so the conditional

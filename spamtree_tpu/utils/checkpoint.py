@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from spamtree_tpu.model.core import ModelStatic, msg_gram, sweep
+from spamtree_tpu.model.core import ModelStatic, gram_full, sweep
 from spamtree_tpu.model.mcmc import MCMCState
 from spamtree_tpu.model.ram import RAMState
 
@@ -111,7 +111,7 @@ def load_state(path: str, ms: ModelStatic) -> MCMCState:
             # chains carry no gram (see mcmc.stack_chain_states)
             return jax.vmap(lambda tt, www: sweep(m, tt, www))(t, ww) + ((),)
         ld, pd, lg, okk = sweep(m, t, ww)
-        return ld, pd, lg, okk, msg_gram(m, ld)
+        return ld, pd, lg, okk, gram_full(m, ld)
 
     from spamtree_tpu.utils.execcache import cached_compile
 

@@ -236,3 +236,61 @@ def test_gibbs_w_targets_exact_posterior():
     # MC error: per-sweep samples are autocorrelated; allow generous slack
     assert np.abs(zerr).mean() < 0.25, np.abs(zerr).mean()
     assert np.abs(wbar - mean).max() < 0.5
+
+
+def test_gibbs_w_routed_gram_bitwise():
+    """route_gram (the accept-time precompute of the per-level Sigi message
+    sums) must be BIT-identical to routing the Gram blocks in place every
+    iteration -- matching accumulation order -- across the full tree, a
+    misaligned q=2 tree, a limited tree, and forced B-axis chunking."""
+    from spamtree_tpu.model.core import gram_full
+
+    cases = [
+        dict(n=320, cell=9),
+        dict(n=340, cell=9, q=2, miss=0.15),
+        dict(n=320, cell=9, limited_tree=True),
+    ]
+    for kw in cases:
+        ms, tree, sched, tspec, coords, mv, y, na = _setup(**kw)
+        theta = jnp.asarray(tspec.start)
+        rng = np.random.default_rng(11)
+        w = jnp.asarray(np.append(rng.normal(size=ms.n), 0.0))
+        leveldata, _pd, _lg, ok = sweep(ms, theta, w)
+        assert bool(ok)
+        gram, routed = jax.jit(gram_full)(ms, leveldata)
+        # at least one level must actually receive a precomputed sum
+        assert any(not isinstance(r, tuple) for r in routed)
+        key = jax.random.PRNGKey(5)
+        ti = jnp.full((ms.q,), 4.0)
+        XB = jnp.zeros((ms.n + 1,))
+        w_in = jax.jit(
+            lambda: gibbs_w(ms, leveldata, w, ti, XB, key, gram=gram)
+        )()
+        w_rt = jax.jit(
+            lambda: gibbs_w(ms, leveldata, w, ti, XB, key, gram=gram,
+                            routed=routed)
+        )()
+        assert np.array_equal(np.asarray(w_in), np.asarray(w_rt)), kw
+
+    # forced chunking: the chunked scan path consumes chunked routed slabs
+    ms, tree, sched, tspec, coords, mv, y, na = _setup(n=280, tree_depth=2)
+    ms_c = ModelStatic(sched, coords, mv, np.where(na, y, np.nan),
+                       np.ones((ms.n, 1)), tspec.spec, dtype=jnp.float64,
+                       chunk_bytes=1e4)
+    assert max(ms_c.level_chunks) > 1
+    theta = jnp.asarray(tspec.start)
+    w = jnp.asarray(np.append(np.random.default_rng(3).normal(size=ms_c.n), 0.0))
+    leveldata, _pd, _lg, ok = sweep(ms_c, theta, w)
+    assert bool(ok)
+    gram, routed = jax.jit(gram_full)(ms_c, leveldata)
+    key = jax.random.PRNGKey(2)
+    ti = jnp.asarray([4.0])
+    XB = jnp.zeros((ms_c.n + 1,))
+    w_in = jax.jit(
+        lambda: gibbs_w(ms_c, leveldata, w, ti, XB, key, gram=gram)
+    )()
+    w_rt = jax.jit(
+        lambda: gibbs_w(ms_c, leveldata, w, ti, XB, key, gram=gram,
+                        routed=routed)
+    )()
+    assert np.array_equal(np.asarray(w_in), np.asarray(w_rt))
