@@ -53,6 +53,28 @@ def main(n_per_q=50000, cell_size=25):
         ("w-only step     ", MCMCConfig(sample_theta=False, sample_beta=False,
                                         sample_tausq=False,
                                         sample_predicts=False)),
+        # theta block in isolation (forced-reject so no install): decision
+        # sweep + the tiny-op chain (proposal transform, jacobian, prior,
+        # accept scalar math, RAM adapt).  theta-noadapt subtracts the RAM
+        # update; (theta-only - noadapt) = RAM adapt's serialized tiny
+        # kernels, (noadapt - standalone decision sweep) = the rest
+        ("theta-only      ", MCMCConfig(force_accept=0, sample_w=False,
+                                        sample_beta=False, sample_tausq=False,
+                                        sample_predicts=False)),
+        ("theta-noadapt   ", MCMCConfig(force_accept=0, sample_w=False,
+                                        sample_beta=False, sample_tausq=False,
+                                        sample_predicts=False,
+                                        adapting=False)),
+        # pairwise composition probes (forced-reject): theta-only measured
+        # 6.07 ms and no-theta 10.35 yet forced-reject is 21.78 -- ~5.4 ms
+        # appears only when blocks share one program.  w+theta / theta+pred
+        # localize which pairing pays it
+        ("w+theta         ", MCMCConfig(force_accept=0, sample_beta=False,
+                                        sample_tausq=False,
+                                        sample_predicts=False)),
+        # (predict is gated on sample_w, so w+theta+pred is the other pair)
+        ("w+theta+pred    ", MCMCConfig(force_accept=0, sample_beta=False,
+                                        sample_tausq=False)),
     ):
         if only and not any(name.startswith(o) for o in only):
             continue
