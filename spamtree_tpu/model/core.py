@@ -1547,18 +1547,24 @@ def gibbs_beta(ms: ModelStatic, w, tausq_inv, key, beta_Vi, beta_Vim, y=None):
     yw = y[: ms.n] - w[: ms.n]
     # (p, q): X' ((y - w) masked to observed margin j)
     Xty = jnp.einsum("ip,ij->pj", ms.X, yw[:, None] * ms.mv_onehot_obs)
-    betas = []
     zs = jax.random.normal(key, (p, q), dtype=ms.dtype)
-    for j in range(q):
-        Si = tausq_inv[j] * ms.XtX[j] + beta_Vi
-        L = jnp.linalg.cholesky(Si)
-        rhs = beta_Vim + tausq_inv[j] * Xty[:, j]
-        mu = jax.scipy.linalg.cho_solve((L, True), rhs)
-        bj = mu + jax.lax.linalg.triangular_solve(
-            L, zs[:, j][:, None], left_side=True, lower=True, transpose_a=True
-        )[:, 0]
-        betas.append(bj)
-    beta = jnp.stack(betas, axis=1)  # (p, q)
+    # batched over margins: one (q, p, p) cholesky + three batched
+    # triangular solves instead of q serialized chol/solve chains (each
+    # in-program kernel costs ~0.3 ms dispatch on this machine,
+    # BENCH_RESULTS round-4 attribution); same draws up to reassociation
+    Si = tausq_inv[:, None, None] * ms.XtX + beta_Vi  # (q, p, p)
+    L = jnp.linalg.cholesky(Si)
+    rhs = (beta_Vim[None, :] + tausq_inv[:, None] * Xty.T)[..., None]
+    half = jax.lax.linalg.triangular_solve(
+        L, rhs, left_side=True, lower=True
+    )
+    mu = jax.lax.linalg.triangular_solve(
+        L, half, left_side=True, lower=True, transpose_a=True
+    )[..., 0]
+    bj = mu + jax.lax.linalg.triangular_solve(
+        L, zs.T[..., None], left_side=True, lower=True, transpose_a=True
+    )[..., 0]
+    beta = bj.T  # (p, q)
     XBq = ms.X @ beta  # (n, q)
     XB = jnp.sum(XBq * ms.mv_onehot, axis=1)
     XB = jnp.append(XB, jnp.zeros((1,), dtype=ms.dtype))

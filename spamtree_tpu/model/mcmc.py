@@ -825,6 +825,15 @@ def _chunk_cost(ex):
         return 0.0, 0.0
 
 
+def _leaf_is_arg(a, thresh: float) -> bool:
+    """Argument side of the hybrid split: every device-resident leaf (a
+    literal would be fetched back host-side at lowering) and every host
+    leaf above ``thresh`` bytes."""
+    return isinstance(a, jax.Array) or (
+        getattr(a, "size", 0) * a.dtype.itemsize > thresh
+    )
+
+
 def _split_big_leaves(ms: ModelStatic, thresh: float | None = None):
     """Middle const-model point (``const_model="hybrid"``): model leaves
     above ``thresh`` bytes become jit ARGUMENTS, everything else folds into
@@ -838,7 +847,14 @@ def _split_big_leaves(ms: ModelStatic, thresh: float | None = None):
     keeps that folding while the program stays O(levels).
 
     Returns (big_leaves, rebuild) where ``rebuild(big_args)`` reassembles a
-    ModelStatic from traced big leaves + constant small leaves."""
+    ModelStatic from traced big leaves + constant small leaves.
+
+    Leaves that already live on the DEVICE ride as arguments regardless of
+    size: folding a device array as an mlir literal fetches its value back
+    host-side (`ir_constant` -> `array._value`), and on this machine that
+    fetch goes through the ~20 MB/s relay per leaf — a measured multi-minute
+    lowering stall (round-4 faulthandler capture).  Only host-staged numpy
+    leaves below ``thresh`` fold as constants; they lower locally."""
     import os as _os
 
     if thresh is None:
@@ -846,8 +862,7 @@ def _split_big_leaves(ms: ModelStatic, thresh: float | None = None):
     arrays, static = _ms_flatten(ms)
     flat, treedef = jax.tree.flatten(arrays)
     big_ix = tuple(
-        i for i, a in enumerate(flat)
-        if getattr(a, "size", 0) * a.dtype.itemsize > thresh
+        i for i, a in enumerate(flat) if _leaf_is_arg(a, thresh)
     )
     big_set = set(big_ix)
     small = [None if i in big_set else a for i, a in enumerate(flat)]
@@ -869,8 +884,13 @@ def _model_mode_dispatch(const_model, ms: ModelStatic, _keep_body):
     Returns (keep_scan, _lower_keep, _wrap), each with the uniform
     ``(ms, carry, xs)`` call signature."""
     if const_model == "hybrid":
-        ms.materialize_device()
+        # do NOT materialize the model first: the split must see the
+        # host-staged numpy leaves so the constant-folded small leaves
+        # lower locally (a device-resident constant is fetched back
+        # through the relay per leaf at lowering time — see
+        # _split_big_leaves).  Only the big argument leaves go to device.
         _big, _rebuild = _split_big_leaves(ms)
+        _big = [jax.device_put(a) for a in _big]
         _keep_h = partial(jax.jit, donate_argnums=1)(
             lambda big_args, c, xs: _keep_body(_rebuild(big_args), c, xs)
         )
