@@ -453,6 +453,13 @@ class ModelStatic:
         if not getattr(self, "_host_staged", False):
             return self
         packed_np, apacked_np, _materialize = self._stage
+        # retain the host-resident leaf values (numpy views into the packed
+        # staging buffers -- near-free) so a later hybrid const_model split
+        # can still constant-fold the small leaves after materialization
+        # (mcmc._split_big_leaves); without this, hybrid silently degrades
+        # to pure argument mode on the eager-init / checkpoint-load paths
+        arrays, _static = _ms_flatten(self)
+        self._host_leaves = jax.tree.leaves(arrays)
         from spamtree_tpu.utils.execcache import cached_compile
 
         packed_dev = jnp.asarray(packed_np, dtype=jnp.int32)

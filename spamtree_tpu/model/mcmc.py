@@ -828,10 +828,9 @@ def _chunk_cost(ex):
 def _leaf_is_arg(a, thresh: float) -> bool:
     """Argument side of the hybrid split: every device-resident leaf (a
     literal would be fetched back host-side at lowering) and every host
-    leaf above ``thresh`` bytes."""
-    return isinstance(a, jax.Array) or (
-        getattr(a, "size", 0) * a.dtype.itemsize > thresh
-    )
+    leaf above ``thresh`` bytes.  ``nbytes`` handles numpy and jax arrays
+    alike and degrades to 0 (constant-fold) for non-array leaves."""
+    return isinstance(a, jax.Array) or getattr(a, "nbytes", 0) > thresh
 
 
 def _split_big_leaves(ms: ModelStatic, thresh: float | None = None):
@@ -861,12 +860,32 @@ def _split_big_leaves(ms: ModelStatic, thresh: float | None = None):
         thresh = float(_os.environ.get("SPAMTREE_HYBRID_CONST_BYTES", 1e6))
     arrays, static = _ms_flatten(ms)
     flat, treedef = jax.tree.flatten(arrays)
+    # a model materialized BEFORE the split (eager init, checkpoint load)
+    # has every leaf on device, which would silently degenerate hybrid to
+    # pure argument mode; the host snapshot materialize_device() retains
+    # restores the small leaves' constant-foldable numpy values (identical
+    # numbers, just host-resident so they lower locally)
+    host_flat = getattr(ms, "_host_leaves", None)
+    if host_flat is not None and len(host_flat) == len(flat):
+        flat = [
+            h if (isinstance(a, jax.Array)
+                  and getattr(h, "nbytes", thresh + 1) <= thresh) else a
+            for a, h in zip(flat, host_flat)
+        ]
     big_ix = tuple(
         i for i, a in enumerate(flat) if _leaf_is_arg(a, thresh)
     )
     big_set = set(big_ix)
     small = [None if i in big_set else a for i, a in enumerate(flat)]
     big = [flat[i] for i in big_ix]
+    if not any(a is not None for a in small):
+        import warnings
+
+        warnings.warn(
+            "const_model='hybrid' found no host-resident leaves to fold; "
+            "running as pure argument mode (model was materialized to "
+            "device before the split)", stacklevel=3,
+        )
 
     def rebuild(big_args):
         f2 = list(small)
@@ -890,7 +909,11 @@ def _model_mode_dispatch(const_model, ms: ModelStatic, _keep_body):
         # through the relay per leaf at lowering time — see
         # _split_big_leaves).  Only the big argument leaves go to device.
         _big, _rebuild = _split_big_leaves(ms)
-        _big = [jax.device_put(a) for a in _big]
+        # ONE batched transfer for all big leaves: per-leaf puts through the
+        # high-overhead device link are exactly what the packed-buffer
+        # staging exists to avoid (core.py staging note: ~30 individual puts
+        # at n~1e6 cost minutes); device-resident leaves pass through as-is
+        _big = jax.device_put(_big)
         _keep_h = partial(jax.jit, donate_argnums=1)(
             lambda big_args, c, xs: _keep_body(_rebuild(big_args), c, xs)
         )
