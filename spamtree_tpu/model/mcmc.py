@@ -24,6 +24,7 @@ from spamtree_tpu.model.core import (
     _ms_flatten,
     _ms_unflatten,
     gibbs_beta,
+    gibbs_beta_tausq,
     gibbs_tausq,
     gibbs_w,
     msg_gram,
@@ -114,6 +115,12 @@ class MCMCConfig(NamedTuple):
     # adapt) but skip the install cond entirely -- isolates the cond+install
     # machinery from the decision math (examples/bisect_step_blocks.py)
     theta_no_install: bool = False
+    # MEASUREMENT ONLY: the theta decision sweep consumes the PRE-Gibbs w
+    # (state.w) instead of the just-sampled one, breaking the w-Gibbs ->
+    # sweep data dependency so XLA may overlap the two blocks -- isolates
+    # critical-path serialization from structural per-program overhead in
+    # the w+theta composition probe (examples/probe_composition.py)
+    theta_stale_w: bool = False
     # Accept-aware theta step (None = auto): the proposal runs a
     # DECISION-ONLY sweep (loglik + fused quadratic forms, no factor/H/prec
     # emission) and the factor-emitting rebuild runs INSIDE the accept
@@ -333,17 +340,18 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             U = jax.random.normal(kt, (theta.shape[0],), dtype=ms.dtype)
             prop = transf_back(transf_fwd(theta, bnds) + ram.paramsd @ U, bnds)
             prop, _ = clamp_bounds(prop, bnds)
+            w_sw = state.w if cfg.theta_stale_w else w  # measurement-only
             # both quadratic forms (proposal and current factors) are fused
             # into the proposal sweep's level loop -- no standalone
             # quad_loglik passes over the stored factors
             if accept_aware:
                 # decision-only: no factor/H/prec emission, no pred joint
                 new_logdet, ok, q_new, q_cur = sweep(
-                    ms, prop, w, quad_prev=leveldata, decision_only=True
+                    ms, prop, w_sw, quad_prev=leveldata, decision_only=True
                 )
             else:
                 new_ld, new_pj, new_logdet, ok, q_new, q_cur = sweep(
-                    ms, prop, w, quad_prev=leveldata, emit_pred_joint=True
+                    ms, prop, w_sw, quad_prev=leveldata, emit_pred_joint=True
                 )
             cur_ll = logdetCi + q_cur
             new_ll = new_logdet + q_new
@@ -392,7 +400,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                 def _on_accept(op):
                     prop_ = op
                     ld_, pj_, lg2, ok2 = sweep(
-                        ms, prop_, w, build_pred=refresh_pred,
+                        ms, prop_, w_sw, build_pred=refresh_pred,
                         emit_pred_joint=True,
                     )
 
@@ -463,12 +471,19 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                 w = jax.lax.cond(predicting, pfn, lambda ww: ww, w)
 
         tausq_inv = state.tausq_inv
-        if cfg.sample_tausq:
-            tausq_inv = gibbs_tausq(ms, w, state.XB, kq, cfg.tausq_ab)
-
         beta, XB = state.beta, state.XB
-        if cfg.sample_beta:
-            beta, XB = gibbs_beta(ms, w, tausq_inv, kb, Vi, Vim)
+        if cfg.sample_tausq and cfg.sample_beta:
+            # fused conjugate tail: both O(n) reductions in one GEMM, the
+            # tiny per-margin solve chain in one unrolled kernel
+            # (core.gibbs_beta_tausq; same draws as the separate calls)
+            tausq_inv, beta, XB = gibbs_beta_tausq(
+                ms, w, state.XB, kq, kb, cfg.tausq_ab, Vi, Vim
+            )
+        else:
+            if cfg.sample_tausq:
+                tausq_inv = gibbs_tausq(ms, w, state.XB, kq, cfg.tausq_ab)
+            if cfg.sample_beta:
+                beta, XB = gibbs_beta(ms, w, tausq_inv, kb, Vi, Vim)
 
         if cfg.printall:
             # live per-iteration report (reference printall,

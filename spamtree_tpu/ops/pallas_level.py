@@ -84,6 +84,46 @@ def _scalar_row(width, dt, **vals):
     return row
 
 
+def _thin_decision_kernel_vpu(kxc_ref, joint_ref, wpar_ref, wr_ref,
+                              prevh_ref, prevprec_ref, kdiag_ref, rmask_ref,
+                              out_ref, *, G: int):
+    """Aligned-layout variant of the decision kernel: Kxc rides WITHOUT the
+    augmented wpar column (so its trailing dim stays the 128-aligned S),
+    and u = LAi wpar is a VPU broadcast-reduce over the VMEM-resident LAi
+    instead of an MXU matvec.  Built for the 128-aligned layouts
+    (schedule joint_align / thin_s_align) where every block DMA is then
+    stride-free; parity-tested against the jnp thin branch."""
+    dt = kxc_ref.dtype
+    logdet = qn = qc = jnp.zeros((), dtype=dt)
+    okf = jnp.ones((), dtype=dt)
+    for g in range(G):
+        Kxc = kxc_ref[g]          # (P, S)
+        LAi = joint_ref[g].astype(dt)  # (P, P)
+        wpar = wpar_ref[g]        # (1, P)
+        w_r = wr_ref[g]           # (1, S)
+        rmask = rmask_ref[g] > 0.5  # (1, S)
+
+        M = jax.lax.dot_general(
+            LAi, Kxc, (((1,), (0,)), ((), ())), preferred_element_type=dt
+        )  # (P, S)
+        # u_p = sum_q LAi[p, q] wpar[q]: VPU lane-reduce on the resident LAi
+        u = jnp.sum(LAi * wpar, axis=1, keepdims=True)  # (P, 1)
+        hk = jnp.sum(M * M, axis=0, keepdims=True)  # (1, S)
+        hw = jnp.sum(M * u, axis=0, keepdims=True)  # (1, S)
+
+        r = jnp.where(rmask, kdiag_ref[g] - hk, 1.0)
+        okl = jnp.isfinite(r) & (r > 0)
+        okf = jnp.minimum(okf, jnp.min(jnp.where(okl, 1.0, 0.0)))
+        r = jnp.where(okl, r, 1.0)
+        logdet = logdet - 0.5 * jnp.sum(jnp.where(rmask, jnp.log(r), 0.0))
+
+        wx = w_r - hw
+        qn = qn - 0.5 * jnp.sum(wx * wx / r)
+        wxc = w_r - jnp.sum(prevh_ref[g] * wpar, axis=-1).reshape(1, -1)
+        qc = qc - 0.5 * jnp.sum(prevprec_ref[g] * wxc * wxc)
+    out_ref[0] = _scalar_row(8, dt, logdet=logdet, qn=qn, qc=qc, ok=okf)
+
+
 def _thin_decision_kernel(kxc_ref, joint_ref, wpar_ref, wr_ref,
                           prevh_ref, prevprec_ref, kdiag_ref, rmask_ref,
                           out_ref, *, G: int):
@@ -166,12 +206,24 @@ def thin_decision_level(Kxc, joint, lp_pos, wpar, w_r, prevH, prevprec,
     def v3(a):
         return a.reshape(a.shape[0], 1, a.shape[1])
 
-    # wpar as the augmented last RHS column: u = LAi wpar rides the block's
-    # single MXU matmul (see kernel docstring)
-    Kaug = jnp.concatenate([Kxc, wpar[:, :, None].astype(Kxc.dtype)], axis=2)
-    kern = functools.partial(_thin_decision_kernel, G=G)
-    args = (Kaug, joint, v3(wpar), v3(w_r), prevH, v3(prevprec), v3(kdiag),
-            v3(rmask_f))
+    # 128-aligned layouts (schedule joint_align): no augmented column (it
+    # would break Kxc's aligned trailing dim), u = LAi wpar on the VPU
+    vpu = aligned and P % 128 == 0
+    if vpu:
+        kern = functools.partial(_thin_decision_kernel_vpu, G=G)
+        args = (Kxc, joint, v3(wpar), v3(w_r), prevH, v3(prevprec),
+                v3(kdiag), v3(rmask_f))
+        Sk = S
+    else:
+        # wpar as the augmented last RHS column: u = LAi wpar rides the
+        # block's single MXU matmul (see kernel docstring)
+        Kaug = jnp.concatenate(
+            [Kxc, wpar[:, :, None].astype(Kxc.dtype)], axis=2
+        )
+        kern = functools.partial(_thin_decision_kernel, G=G)
+        args = (Kaug, joint, v3(wpar), v3(w_r), prevH, v3(prevprec),
+                v3(kdiag), v3(rmask_f))
+        Sk = S + 1
     if aligned:
         def spec3(d2, d3):
             return pl.BlockSpec((G, d2, d3), lambda i: (i, 0, 0),
@@ -181,7 +233,7 @@ def thin_decision_level(Kxc, joint, lp_pos, wpar, w_r, prevH, prevprec,
             kern,
             grid=(B // G,),
             in_specs=[
-                spec3(P, S + 1), spec3(P, P), spec3(1, P), spec3(1, S),
+                spec3(P, Sk), spec3(P, P), spec3(1, P), spec3(1, S),
                 spec3(S, P), spec3(1, S), spec3(1, S), spec3(1, S),
             ],
             out_specs=pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),

@@ -305,11 +305,40 @@ def _bucket_plan(plan: LevelPlan, n: int, max_buckets: int = 4,
     return out
 
 
+def _pad_S(plan: LevelPlan, align: int, n: int) -> LevelPlan:
+    """Round a thin/pred level's block width S up to a multiple of ``align``
+    with sentinel rows (identity-padding semantics): the per-row kernels'
+    (B, S)/(B, S, P) operands then have 128-lane-aligned trailing/second
+    dims, which the fused Pallas level kernels need for stride-free block
+    DMA.  Exact: sentinel rows are masked out of every reduction."""
+    S = plan.rows.shape[1]
+    Sp = -(-S // align) * align
+    if Sp == S:
+        return plan
+    ext = np.full((plan.rows.shape[0], Sp - S), n, dtype=plan.rows.dtype)
+    plan.rows = np.concatenate([plan.rows, ext], axis=1)
+    return plan
+
+
 def build_schedule(
     tree: TreeLevels, limited_tree: bool = False, validate: bool | None = None,
     bucket_thin: bool = True, merge_thin: bool = True, group_ref: bool = True,
     align_thin: bool = True, align_min_p: int = 128,
+    joint_align: int | None = None, thin_s_align: int | None = None,
 ) -> Schedule:
+    import os as _os
+
+    # 128-lane layout alignment for the fused Pallas level kernels
+    # (VERDICT r4 item 2): ``joint_align`` pads the DEEPEST reference
+    # level's joint layout (the (B, P, P) factor batch every thin/pred
+    # level streams) to a multiple, ``thin_s_align`` rounds thin/pred
+    # block widths S up.  Only the deepest ref joint is padded, so the
+    # padding never compounds through the ancestor recursion.  Exact by
+    # identity-padding semantics; default off (0) -- measured A/B knobs.
+    if joint_align is None:
+        joint_align = int(_os.environ.get("SPAMTREE_JOINT_ALIGN", "0") or 0)
+    if thin_s_align is None:
+        thin_s_align = int(_os.environ.get("SPAMTREE_THIN_S_ALIGN", "0") or 0)
     n = tree.n_rows
     nb = tree.n_blocks
     if validate is None:
@@ -322,6 +351,15 @@ def build_schedule(
     levels_1b = sorted(set(int(v) for v in tree.block_level))
     sweep_levels: list[LevelPlan] = []
     pred_plan: LevelPlan | None = None
+
+    # deepest observed reference level: the only joint layout joint_align
+    # pads (its consumers are all thin/pred, so the pad cannot compound)
+    last_ref_res = None
+    if joint_align > 1 and not limited_tree:
+        for li, res in enumerate(levels_1b):
+            ids0 = np.flatnonzero(tree.block_level == res)
+            if (tree.block_ct_obs[ids0] > 0).any() and tree.res_is_ref[li] == 1:
+                last_ref_res = res
 
     # per REF sweep level: padded joint layout rows + static segment structure
     joint_rows: dict[int, np.ndarray] = {}
@@ -408,7 +446,19 @@ def build_schedule(
                     continue
                 block_pos[int(u)] = i
                 block_sweep_level[int(u)] = t_sweep
-            joint_rows[t_sweep] = np.concatenate([plan.prows, plan.rows], axis=1)
+            joint = np.concatenate([plan.prows, plan.rows], axis=1)
+            if last_ref_res is not None and res == last_ref_res:
+                W = joint.shape[1]
+                Wp = -(-W // joint_align) * joint_align
+                if Wp > W:
+                    # sentinel tail: identity rows in the emitted factor,
+                    # masked out of every Kxc/message; the thin consumers'
+                    # (B, P, P) factor stream becomes 128-lane aligned
+                    joint = np.concatenate([
+                        joint,
+                        np.full((joint.shape[0], Wp - W), n, dtype=np.int64),
+                    ], axis=1)
+            joint_rows[t_sweep] = joint
             joint_segs[t_sweep] = (
                 list(seg_off) + [plan.prows.shape[1]],
                 list(seg_size) + [S],
@@ -434,6 +484,8 @@ def build_schedule(
                 buckets = [aplan]
             else:
                 buckets = _bucket_plan(plan, n) if bucket_thin else [plan]
+            if thin_s_align > 1:
+                buckets = [_pad_S(b, thin_s_align, n) for b in buckets]
             sweep_levels.extend(buckets)
             t_sweep += len(buckets)
 
@@ -456,6 +508,9 @@ def build_schedule(
             pred_buckets = (
                 _bucket_plan(pred_plan, n) if bucket_thin else [pred_plan]
             )
+        if thin_s_align > 1:
+            pred_buckets = [_pad_S(b, thin_s_align, n) for b in pred_buckets]
+            pred_plan = pred_buckets[0] if len(pred_buckets) == 1 else pred_plan
     Smax = max(p.S for p in sweep_levels)
     return Schedule(
         n=n, n_blocks=nb, Smax=Smax, levels=sweep_levels, pred=pred_plan,

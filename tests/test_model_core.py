@@ -294,3 +294,64 @@ def test_gibbs_w_routed_gram_bitwise():
                         routed=routed)
     )()
     assert np.array_equal(np.asarray(w_in), np.asarray(w_rt))
+
+
+def test_fused_beta_tausq_matches_separate():
+    """gibbs_beta_tausq (one GEMM for both O(n) reductions + unrolled
+    solve chain) must reproduce the separate gibbs_tausq -> gibbs_beta
+    sequence with the same keys to f64 reassociation tolerance."""
+    from spamtree_tpu.model.core import (
+        gibbs_beta, gibbs_beta_tausq, gibbs_tausq,
+    )
+
+    rng = np.random.default_rng(4)
+    ms, tree, sched, tspec, coords, mv, y, na = _setup(
+        n=400, q=2, miss=0.1, seed=4
+    )
+    p = 3
+    X = rng.normal(size=(ms.n, p))
+    ms2 = ModelStatic(sched, coords, mv, y, X, tspec.spec, dtype=jnp.float64)
+    w = jnp.asarray(np.append(rng.normal(size=ms2.n) * 0.5, 0.0))
+    beta0 = jnp.asarray(rng.normal(size=(p, ms2.q)))
+    XBq = ms2.X @ beta0
+    XB = jnp.append(jnp.sum(XBq * ms2.mv_onehot, axis=1), 0.0)
+    Vi = jnp.asarray(0.01 * np.eye(p))
+    Vim = jnp.zeros((p,))
+    kq, kb = jax.random.split(jax.random.PRNGKey(3))
+    ab = (2.01, 1.0)
+
+    ti_sep = gibbs_tausq(ms2, w, XB, kq, ab)
+    beta_sep, XB_sep = gibbs_beta(ms2, w, ti_sep, kb, Vi, Vim)
+    ti_f, beta_f, XB_f = gibbs_beta_tausq(ms2, w, XB, kq, kb, ab, Vi, Vim)
+    np.testing.assert_allclose(np.asarray(ti_f), np.asarray(ti_sep),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(beta_f), np.asarray(beta_sep),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(XB_f), np.asarray(XB_sep),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_fused_beta_tausq_large_p_path():
+    """p > 8 falls back to the batched linalg solve chain."""
+    from spamtree_tpu.model.core import gibbs_beta, gibbs_beta_tausq, gibbs_tausq
+
+    rng = np.random.default_rng(9)
+    ms, tree, sched, tspec, coords, mv, y, na = _setup(n=300, q=1, seed=9)
+    p = 10
+    X = rng.normal(size=(ms.n, p))
+    ms2 = ModelStatic(sched, coords, mv, y, X, tspec.spec, dtype=jnp.float64)
+    w = jnp.asarray(np.append(rng.normal(size=ms2.n) * 0.5, 0.0))
+    XB = jnp.zeros((ms2.n + 1,))
+    Vi = jnp.asarray(0.01 * np.eye(p))
+    Vim = jnp.zeros((p,))
+    kq, kb = jax.random.split(jax.random.PRNGKey(8))
+    ab = (2.01, 1.0)
+    ti_sep = gibbs_tausq(ms2, w, XB, kq, ab)
+    beta_sep, XB_sep = gibbs_beta(ms2, w, ti_sep, kb, Vi, Vim)
+    ti_f, beta_f, XB_f = gibbs_beta_tausq(ms2, w, XB, kq, kb, ab, Vi, Vim)
+    np.testing.assert_allclose(np.asarray(ti_f), np.asarray(ti_sep),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(beta_f), np.asarray(beta_sep),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(XB_f), np.asarray(XB_sep),
+                               rtol=1e-8, atol=1e-10)

@@ -167,3 +167,43 @@ def test_step_level_parity_through_mcmc(monkeypatch):
     np.testing.assert_allclose(th_on, th_off, rtol=1e-9)
     np.testing.assert_allclose(w_on, w_off, rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(ld_on, ld_off, rtol=1e-10)
+
+
+def test_thin_decision_vpu_variant_parity():
+    """The aligned-layout VPU variant (no augmented column, u = LAi wpar as
+    a lane reduce; pallas_level._thin_decision_kernel_vpu) must match the
+    jnp math exactly.  P = 128 triggers the variant selection."""
+    from spamtree_tpu.ops.pallas_level import thin_decision_level
+
+    rng = np.random.default_rng(7)
+    B, P, S = 8, 128, 16
+    f = jnp.float64
+    Kxc = jnp.asarray(rng.normal(size=(B, P, S)), f)
+    LAi = jnp.asarray(
+        np.tril(rng.normal(size=(B, P, P))) + 3.0 * np.eye(P), f)
+    wpar = jnp.asarray(rng.normal(size=(B, P)), f)
+    w_r = jnp.asarray(rng.normal(size=(B, S)), f)
+    prevH = jnp.asarray(rng.normal(size=(B, S, P)), f)
+    prevprec = jnp.asarray(rng.uniform(1.0, 2.0, size=(B, S)), f)
+    rmask = np.ones((B, S), dtype=bool)
+    rmask[0, S - 3:] = False  # masked tail rows on one block
+    M = jnp.einsum("bpq,bqs->bps", LAi, Kxc)
+    hk = jnp.sum(M * M, axis=1)
+    kdiag = jnp.asarray(hk + rng.uniform(0.5, 1.5, size=(B, S)), f)
+    r = jnp.where(rmask, kdiag - hk, 1.0)
+    hw = jnp.einsum("bps,bp->bs", M, jnp.einsum("bpq,bq->bp", LAi, wpar))
+    wx = w_r - hw
+    want_logdet = -0.5 * float(jnp.sum(jnp.where(rmask, jnp.log(r), 0.0)))
+    want_qn = -0.5 * float(jnp.sum(wx * wx / r))
+    wxc = w_r - jnp.einsum("bsp,bp->bs", prevH, wpar)
+    want_qc = -0.5 * float(jnp.sum(prevprec * wxc * wxc))
+
+    ld, ok, qn, qc = thin_decision_level(
+        Kxc, LAi, jnp.arange(B, dtype=jnp.int32), wpar, w_r, prevH,
+        prevprec, kdiag, jnp.asarray(rmask, f), aligned=True,
+        interpret=True,
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(float(ld), want_logdet, rtol=1e-12)
+    np.testing.assert_allclose(float(qn), want_qn, rtol=1e-12)
+    np.testing.assert_allclose(float(qc), want_qc, rtol=1e-12)
