@@ -75,6 +75,14 @@ def main(n_per_q=50000, cell_size=25):
         # (predict is gated on sample_w, so w+theta+pred is the other pair)
         ("w+theta+pred    ", MCMCConfig(force_accept=0, sample_beta=False,
                                         sample_tausq=False)),
+        # legacy always-emit step (accept_aware off): ONE sweep per
+        # iteration that always emits factors, cond only swaps buffers.
+        # With the round-5 joint-w carry the emission cost may no longer
+        # justify accept-aware's doubled program (2x backend compile,
+        # BENCH_r04's 131 s) -- these rows decide the default
+        ("legacy full     ", MCMCConfig(accept_aware=False)),
+        ("legacy-reject   ", MCMCConfig(accept_aware=False, force_accept=0)),
+        ("legacy-accept   ", MCMCConfig(accept_aware=False, force_accept=1)),
     ):
         if only and not any(name.startswith(o) for o in only):
             continue
