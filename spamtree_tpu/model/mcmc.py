@@ -124,13 +124,14 @@ class MCMCConfig(NamedTuple):
     # Accept-aware theta step (None = auto): the proposal runs a
     # DECISION-ONLY sweep (loglik + fused quadratic forms, no factor/H/prec
     # emission) and the factor-emitting rebuild runs INSIDE the accept
-    # branch of the cond -- so the ~73% rejected proposals pay neither the
-    # emission writes nor the cond's output forwarding over the ~155 MB
-    # factor set (VERDICT r3 item 1).  Auto resolves to True in the
-    # single-chain driver and False under vmapped chains (vmap turns cond
-    # into both-branches, which would pay decision + full sweep every
-    # iteration).  The accept branch costs one extra sweep, bought ~27% of
-    # the time.
+    # branch of the cond.  With the round-5 joint-w carry the two forms tie
+    # at stationary acceptance (legacy 12.7 reject / 19.2 accept vs
+    # accept-aware 10.7 / 25.4 -> expected 14.4 vs 14.7 ms at accept=.27,
+    # BENCH_RESULTS round 5) while accept-aware's second sweep DOUBLES the
+    # program in HLO (cold backend compile 32 -> 131 s in round 4, warm
+    # exec-cache load 18 -> 28 s).  Auto therefore resolves to False
+    # everywhere; pass True explicitly for low-acceptance chains where the
+    # reject-path saving outweighs the compile cost.
     accept_aware: object = None
     # LIVE per-iteration theta/tausq printing from INSIDE the compiled step
     # (host callback), the reference's printall (spamtree_fit.cpp:344-350);
@@ -336,7 +337,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
         if cfg.sample_theta:
             accept_aware = cfg.accept_aware
             if accept_aware is None:
-                accept_aware = True  # drivers pass False for vmapped chains
+                accept_aware = False  # see MCMCConfig.accept_aware (round 5)
             U = jax.random.normal(kt, (theta.shape[0],), dtype=ms.dtype)
             prop = transf_back(transf_fwd(theta, bnds) + ram.paramsd @ U, bnds)
             prop, _ = clamp_bounds(prop, bnds)
@@ -1180,6 +1181,7 @@ def run_mcmc(
 
     def _dispatch(ki):
         nonlocal carry, state, key
+        _tc = time.time()
         take = min(mc, cfg.keep - ki * mc)
         fl = flags_last if ki == n_keep_chunks - 1 else flags_keep
         key, sub = jax.random.split(key)
@@ -1187,6 +1189,9 @@ def run_mcmc(
         state, _acc = carry
         state = state._replace(key=key)
         carry = (state, _acc)
+        if _phase_dbg:
+            print(f"[dbg] keep chunk {ki}: dispatch {time.time()-_tc:.3f}s",
+                  flush=True)
         # skipped-chunk subsample outputs are never fetched: no async copy,
         # nothing crosses the wire (see _subsample_plan)
         use_sub = bool(sub_stride) and ki % sub_cstride == 0
@@ -1202,6 +1207,7 @@ def run_mcmc(
 
     def _drain(dev_outs, m_take, use_sub, rep_snap):
         nonlocal drained
+        _tc = time.time()
         theta_s, tausq_s, beta_s = _drain_samples(
             dev_outs[:3] if sub_stride else dev_outs, m_take,
             summary=summary, wire=wire, sinks=sinks, outs=outs,
@@ -1212,6 +1218,9 @@ def run_mcmc(
                              tausq_s, wire=wire, outs=outs,
                              yhat_host=_yhat_host)
         drained += m_take
+        if _phase_dbg:
+            print(f"[dbg] keep drain -> {drained}: {time.time()-_tc:.3f}s",
+                  flush=True)
         if checkpoint_path:
             from spamtree_tpu.utils.checkpoint import save_state
 
@@ -1320,9 +1329,8 @@ def run_mcmc_chains(
         ms.materialize_device()  # see run_mcmc
 
     def _keep_body(m, carry, xs):
-        # vmapped chains resolve accept_aware=None to OFF: vmap turns the
-        # accept-cond into both-branches-always, so the accept-aware form
-        # would pay decision + full sweep every iteration (see MCMCConfig)
+        # vmapped chains always resolve accept_aware=None to OFF: vmap
+        # turns the accept-cond into both-branches-always (see MCMCConfig)
         st = make_step(m, bounds, cfg if cfg.accept_aware is not None
                        else cfg._replace(accept_aware=False))
         # predicting flag stays UNBATCHED under the chain vmap (in_axes

@@ -22,7 +22,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LB = 128  # lane-block: matrices processed per kernel instance
+import os as _os
+
+# lane-block: matrices processed per kernel instance.  128 = one lane
+# tile; larger multiples give each grid step more independent VPU work to
+# pipeline (A/B knob -- the batched chol is ~1.8 ms/step of the round-5
+# profile, examples/profile_step.py)
+LB = int(_os.environ.get("SPAMTREE_CHOL_LB", "128") or 128)
 MAX_S = 64
 
 

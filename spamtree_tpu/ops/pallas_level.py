@@ -57,14 +57,18 @@ def _grid_batch(B: int, P: int, S: int, itemsize: int = 4) -> int:
 def use_level_kernels(dtype) -> bool:
     """Opt-in gate (``SPAMTREE_LEVEL_KERNELS=1``); default OFF.
 
-    Measured negative result at n=1e5 (BENCH_RESULTS round 4): three
-    structurally different variants of the fused thin-level decision kernel
-    (per-block grid, G=8-batched, single-matmul + VPU reduces) all run
-    ~11 ms in-scan vs XLA's 6.5 ms for the same level -- invariant to
-    compute structure, so the floor is the pallas block DMA path on these
-    non-128-aligned (P=296) operands, which XLA's native-layout fusions
-    avoid.  Kept for A/B and for future Mosaic revisions; tests force the
-    gate on and run in interpreter mode on CPU."""
+    Measured negative result, now **negative even 128-aligned** (round 5,
+    examples/ab_aligned.py, closing the round-4 alignment hypothesis): on
+    128-aligned layouts (schedule joint_align=128 pads the leaf's parent
+    joint 296 -> 384; the VPU kernel variant removes the misaligned
+    augmented column) the fused decision-leaf kernel measures 11.1 ms vs
+    9.3 ms unaligned vs XLA's 6.8 ms on the same (padded) layout and 5.6 ms
+    on the production composed-parts path; thin_s_align=128 doubles
+    everyone's work (S 68 -> 128).  The round-4 diagnosis -- unaligned
+    block DMA as the floor -- is falsified; XLA's native-layout fusion
+    pipeline simply beats per-block VMEM staging for this op mix.  Kept
+    for A/B and future Mosaic revisions; tests force the gate on and run
+    in interpreter mode on CPU."""
     env = os.environ.get("SPAMTREE_LEVEL_KERNELS")
     if env is not None:
         return env not in ("0", "false", "")
