@@ -29,16 +29,19 @@ programs weigh ~0.5 MB/1k locations (measured ~50 MB at n=4000, ~600 MB
 at n=1e5) and every source change that perturbs the lowered module
 orphans the old entry under a dead key.  Two guards follow:
 
-* **Size gate** (SPAMTREE_EXEC_CACHE_MAX_MB, default 1024): a hit must
+* **Size gate** (SPAMTREE_EXEC_CACHE_MAX_MB, default 3072): a hit must
   ship the serialized binary back through the ~20 MB/s relay (the n=1e5
-  const-model scan is a 599 MB entry, 44 s hit).  That loses to the
-  remote compile service's cache WHEN that cache holds the entry
-  (12-36 s load) -- but the remote cache proved unreliable (same-day
-  re-runs of an unchanged program paid 116-157 s full recompiles), so
-  the local hit's predictable 44 s wins in expectation.  The gate
-  exists to bound truly pathological payloads; payloads beyond it are
-  not written, and oversized on-disk entries are removed and treated as
-  misses.
+  const-model scan is a 599 MB entry, 44 s hit; the same entry measured
+  12 s in round 5).  That loses to the remote compile service's cache
+  WHEN that cache holds the entry (12-36 s load) -- but the remote cache
+  proved unreliable (same-day re-runs of an unchanged program paid
+  116-157 s full recompiles), so the local hit's predictable load wins
+  in expectation.  Round 5 raised the default 1024 -> 3072 MB: the
+  n=1e6 argument-mode keep program and the n=1e5 two-chain program both
+  serialize above 1 GB and were skipping the cache, leaving their warm
+  runs paying 84-137 s backend recompiles that a local hit does in tens
+  of seconds.  Payloads beyond the gate are not written, and oversized
+  on-disk entries are removed and treated as misses.
 * **LRU budget** (SPAMTREE_EXEC_CACHE_GB, default 20): hits touch the
   entry's mtime and each save evicts oldest-mtime entries over budget.
 """
@@ -138,7 +141,7 @@ def cached_compile(lowered, phases: dict | None = None):
             phases["exec_cache"] = "err:key"
         return lowered.compile()
 
-    max_bytes = float(os.environ.get("SPAMTREE_EXEC_CACHE_MAX_MB", "1024")) * 1e6
+    max_bytes = float(os.environ.get("SPAMTREE_EXEC_CACHE_MAX_MB", "3072")) * 1e6
     if os.path.exists(path):
         try:
             if os.path.getsize(path) > max_bytes:
