@@ -53,16 +53,21 @@ def chol_inv_masked(mat: jax.Array, mask: jax.Array, use_pallas: bool = False):
     """Fused Cholesky + triangular inverse of an identity-padded batch.
 
     Returns (L, Linv, ok).  On TPU with S <= 64 dispatches to the
-    lane-parallel Pallas kernel (ops.pallas_chol); otherwise XLA primitives.
+    lane-parallel Pallas kernel (ops.pallas_chol) in its inv-only form —
+    every live caller discards L, so the kernel never writes it to HBM
+    and **L comes back None on that path** (the ok flag derives from
+    diag(Linv) = 1/diag(L), an equivalent positivity/finiteness check).
+    The XLA fallback still returns the real L.
     """
     m = identity_pad(mat, mask)
     if use_pallas:
-        from spamtree_tpu.ops.pallas_chol import chol_and_inv_lanes
+        from spamtree_tpu.ops.pallas_chol import inv_chol_lanes
 
-        L, Linv = chol_and_inv_lanes(m)
+        Linv = inv_chol_lanes(m)
+        L = None
     else:
         L = jnp.linalg.cholesky(m)
         Linv = tri_inv(L)
-    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    d = jnp.diagonal(Linv if L is None else L, axis1=-2, axis2=-1)
     ok = jnp.all(jnp.isfinite(d) & (d > 0), axis=-1)
     return L, Linv, ok

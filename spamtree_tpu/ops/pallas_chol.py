@@ -34,36 +34,38 @@ MAX_S = 64
 
 def _chol_inv_kernel(a_ref, l_ref, x_ref, *, S: int):
     """a: (S, S, LB) SPD batch -> l = chol(a) lower, x = l^{-1}."""
+    _chol_inv_body(a_ref, l_ref, x_ref, S=S, keep_l=True)
+
+
+def _chol_inv_body(a_ref, l_ref, x_ref, *, S: int, keep_l: bool = True):
     A = a_ref[...]
-    r3 = jax.lax.broadcasted_iota(jnp.int32, (S, S, 1), 0)  # row index
-    c3 = jax.lax.broadcasted_iota(jnp.int32, (S, S, 1), 1)  # col index
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (S, S, 1), 0)
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (S, S, 1), 1)
     r2 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
 
     def chol_step(j, L):
-        # L[j, :, :] extracted by mask-reduce (no dynamic indexing)
-        Lrow_j = jnp.sum(jnp.where(r3 == j, L, 0.0), axis=0)  # (S, LB)
-        # c_i = A[i, j] - sum_{k<j} L[i, k] L[j, k]
+        Lrow_j = jnp.sum(jnp.where(r3 == j, L, 0.0), axis=0)
         contrib = jnp.sum(
             jnp.where(c3 < j, L * Lrow_j[None, :, :], 0.0), axis=1
-        )  # (S, LB)
-        aj = jnp.sum(jnp.where(c3 == j, A, 0.0), axis=1)  # (S, LB) = A[:, j]
+        )
+        aj = jnp.sum(jnp.where(c3 == j, A, 0.0), axis=1)
         c = aj - contrib
-        d = jnp.sqrt(jnp.sum(jnp.where(r2 == j, c, 0.0), axis=0))  # (LB,)
-        col = jnp.where(r2 >= j, c / d[None, :], 0.0)  # (S, LB)
+        d = jnp.sqrt(jnp.sum(jnp.where(r2 == j, c, 0.0), axis=0))
+        col = jnp.where(r2 >= j, c / d[None, :], 0.0)
         return jnp.where(c3 == j, col[:, None, :], L)
 
     L = jax.lax.fori_loop(0, S, chol_step, jnp.zeros_like(A))
-    l_ref[...] = L
+    if keep_l:
+        l_ref[...] = L
 
-    # forward substitution: X[i, :] = (e_i - sum_{k<i} L[i, k] X[k, :]) / L[i, i]
     def inv_step(i, X):
-        Lrow_i = jnp.sum(jnp.where(r3 == i, L, 0.0), axis=0)  # (S, LB)
+        Lrow_i = jnp.sum(jnp.where(r3 == i, L, 0.0), axis=0)
         acc = jnp.sum(
             jnp.where(r3 < i, X * Lrow_i[:, None, :], 0.0), axis=0
-        )  # (S, LB) = sum_k L[i,k] X[k, :]
-        dii = jnp.sum(jnp.where(r2 == i, Lrow_i, 0.0), axis=0)  # (LB,)
-        ei = (r2 == i).astype(A.dtype)  # (S, 1)
-        xrow = (ei - acc) / dii[None, :]  # (S, LB)
+        )
+        dii = jnp.sum(jnp.where(r2 == i, Lrow_i, 0.0), axis=0)
+        ei = (r2 == i).astype(A.dtype)
+        xrow = (ei - acc) / dii[None, :]
         return jnp.where(r3 == i, xrow[None, :, :], X)
 
     X = jax.lax.fori_loop(0, S, inv_step, jnp.zeros_like(A))
@@ -99,6 +101,34 @@ def chol_and_inv_lanes(a: jax.Array, interpret: bool = False):
     L = jnp.transpose(L_t, (2, 0, 1))[:B]
     X = jnp.transpose(X_t, (2, 0, 1))[:B]
     return L, X
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def inv_chol_lanes(a: jax.Array, interpret: bool = False):
+    """Batched (B, S, S) SPD -> Linv only (L never leaves VMEM): halves
+    the kernel's output traffic vs chol_and_inv_lanes.  Every live caller
+    of the fused pair discards L and derives the ok flag from diag(Linv)
+    (= 1/diag(L)), so this is the hot-path form."""
+    B, S, _ = a.shape
+    pad = (-B) % LB
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(S, dtype=a.dtype), (pad, S, S))
+        a = jnp.concatenate([a, eye], axis=0)
+    Bp = a.shape[0]
+    at = jnp.transpose(a, (1, 2, 0))  # (S, S, Bp)
+
+    grid = (Bp // LB,)
+    spec = pl.BlockSpec((S, S, LB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    X_t = pl.pallas_call(
+        lambda a_ref, x_ref: _chol_inv_body(a_ref, None, x_ref, S=S,
+                                            keep_l=False),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((S, S, Bp), a.dtype),
+        interpret=interpret,
+    )(at)
+    return jnp.transpose(X_t, (2, 0, 1))[:B]
 
 
 def use_pallas_chol(S: int) -> bool:
