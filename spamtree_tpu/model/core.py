@@ -815,6 +815,32 @@ def _w_joints(ms: ModelStatic, w, need: set) -> dict:
     return wjs
 
 
+def level_coords(ms: ModelStatic):
+    """Per-level (coords[rows], mv[rows], coords[prows], mv[prows]) tuples
+    plus the prediction-bucket set -- the STATIC gathers of every sweep.
+
+    Built once per chunk program call, OUTSIDE the iteration scan
+    (mcmc._keep_body), and threaded through make_step -> sweep: inside the
+    single-chain scan XLA hoists these loop-invariant gathers itself, but
+    under the vmapped multi-chain step it does not, and they ran as
+    pathological per-iteration scalar gathers (6.4 ms each at n=1e5 C=2,
+    round-5 chains profile).  Computing them structurally outside the
+    while loop guarantees the hoist on every path."""
+    lvls = []
+    for lvl in ms.levels:
+        P = lvl.prows.shape[1]
+        lvls.append((
+            ms.coords[lvl.rows], ms.mv[lvl.rows],
+            ms.coords[lvl.prows] if P > 0 else None,
+            ms.mv[lvl.prows] if P > 0 else None,
+        ))
+    pred = []
+    for lvl in (ms.pred_arrays or []):
+        pred.append((ms.coords[lvl.rows], ms.mv[lvl.rows],
+                     ms.coords[lvl.prows], ms.mv[lvl.prows]))
+    return (tuple(lvls), tuple(pred))
+
+
 def _bcov(ms: ModelStatic, params, cx1, mv1, cx2, mv2):
     """vmapped pairwise covariance over a leading block-batch axis."""
     return jax.vmap(lambda a, b, c, d: pairwise_cov(a, b, c, d, params, ms.spec))(
@@ -829,16 +855,24 @@ def _chunked(lvl: LevelArrays, nc: int) -> LevelArrays:
     )
 
 
-def _run_level(lvl: LevelArrays, nc: int, carry, body):
+def _run_level(lvl, nc: int, carry, body):
     """Run a per-level body either whole (nc=1) or as nc sequential slabs.
 
     ``body(carry, lvl_slice) -> (carry, outs)``; chunked outputs are
     re-flattened along the block axis.  Sequential slabs bound peak HBM: the
     dominant (B, P, P) gathers/products exist for one slab at a time.
+    ``lvl`` may be a LevelArrays or any pytree of (B, ...) arrays (the
+    prediction paths bundle the level with its precomputed coords).
     """
     if nc == 1:
         return body(carry, lvl)
-    carry, outs = jax.lax.scan(body, carry, _chunked(lvl, nc))
+    if isinstance(lvl, LevelArrays):
+        xs = _chunked(lvl, nc)
+    else:
+        xs = jax.tree.map(
+            lambda a: a.reshape(nc, a.shape[0] // nc, *a.shape[1:]), lvl
+        )
+    carry, outs = jax.lax.scan(body, carry, xs)
     outs = jax.tree.map(
         lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outs
     )
@@ -847,7 +881,8 @@ def _run_level(lvl: LevelArrays, nc: int, carry, body):
 
 def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
           quad_prev: tuple | None = None, emit_pred_joint: bool = False,
-          decision_only: bool = False, upto: int | None = None):
+          decision_only: bool = False, upto: int | None = None,
+          coords_cache=None):
     """Full root->leaf likelihood sweep for a theta value.
 
     Returns (leveldata tuple, pred_data, logdetCi scalar, ok flag), the
@@ -910,6 +945,13 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
         parent_joint = joints.get(ms.level_lp[t]) if P > 0 else None
         prev_t = quad_prev[t] if quad_prev is not None else None
         S_lvl = lvl_full.rows.shape[1]
+        if coords_cache is not None:
+            cxr_full, mvr_full, cxp_full, mvp_full = coords_cache[0][t]
+        else:
+            cxr_full = ms.coords[lvl_full.rows]
+            mvr_full = ms.mv[lvl_full.rows]
+            cxp_full = ms.coords[lvl_full.prows] if P > 0 else None
+            mvp_full = ms.mv[lvl_full.prows] if P > 0 else None
         w_r_full = wpar_full = None
         if quad_prev is not None:
             w_r_full = w[lvl_full.rows]
@@ -947,10 +989,7 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
             )
             if kernel_ok or isinstance(parent_joint, tuple):
                 lvl = lvl_full
-                cxr = ms.coords[lvl.rows]
-                mvr = ms.mv[lvl.rows]
-                cxp = ms.coords[lvl.prows]
-                mvp = ms.mv[lvl.prows]
+                cxr, mvr, cxp, mvp = cxr_full, mvr_full, cxp_full, mvp_full
                 Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
                 Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
                 kdiag = jax.vmap(
@@ -999,16 +1038,12 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
                        parent_joint=parent_joint, gc=gc, al=al,
                        compose=compose, jpad=ms.joint_pad[t]):
             logdet, ok, qn, qc = carry
-            lvl, prev, w_r, wpar = args
+            lvl, prev, w_r, wpar, cxr, mvr, cxp, mvp = args
             B, S = lvl.rows.shape
-            cxr = ms.coords[lvl.rows]
-            mvr = ms.mv[lvl.rows]
             if quad_prev is None or P == 0:
                 wpar = None
             need_H = (not decision_only) or emit_joint
             if P > 0:
-                cxp = ms.coords[lvl.prows]
-                mvp = ms.mv[lvl.prows]
                 Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
                 Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
                 M, H, LAi = _apply_parent_factor(
@@ -1111,11 +1146,15 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
         else:
             prev_arg = prev_t
         # structural fillers (unread) keep the xs tuple uniform for scans
-        w_r_arg = w_r_full if w_r_full is not None else lvl_full.lp_pos
-        wpar_arg = wpar_full if wpar_full is not None else lvl_full.lp_pos
+        filler = lvl_full.lp_pos
+        w_r_arg = w_r_full if w_r_full is not None else filler
+        wpar_arg = wpar_full if wpar_full is not None else filler
+        cxp_arg = cxp_full if cxp_full is not None else filler
+        mvp_arg = mvp_full if mvp_full is not None else filler
+        xs_args = (w_r_arg, wpar_arg, cxr_full, mvr_full, cxp_arg, mvp_arg)
         if nc == 1:
             (logdet, ok, qn, qc), outs = level_body(
-                (logdet, ok, qn, qc), (lvl_full, prev_arg, w_r_arg, wpar_arg)
+                (logdet, ok, qn, qc), (lvl_full, prev_arg, *xs_args)
             )
         else:
             prev_c = LevelData(
@@ -1124,7 +1163,8 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
             _csh = lambda a: a.reshape(nc, a.shape[0] // nc, *a.shape[1:])
             (logdet, ok, qn, qc), outs = jax.lax.scan(
                 level_body, (logdet, ok, qn, qc),
-                (_chunked(lvl_full, nc), prev_c, _csh(w_r_arg), _csh(wpar_arg)),
+                (_chunked(lvl_full, nc), prev_c,
+                 *(_csh(a) for a in xs_args)),
             )
             outs = jax.tree.map(
                 lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), outs
@@ -1174,24 +1214,26 @@ def sweep(ms: ModelStatic, theta, w, build_pred: bool = True,
     return tuple(leveldata), pred_data, logdet, ok
 
 
-def pred_operators_from_joint(ms: ModelStatic, theta, parent_joint) -> tuple:
+def pred_operators_from_joint(ms: ModelStatic, theta, parent_joint,
+                              coords_cache=None) -> tuple:
     """Build the prediction (H, r) operators from a theta and the raw
     deepest-reference joint factor emitted by ``sweep(emit_pred_joint=True)``.
     Called from the MCMC step's accept-cond so rejected proposals skip it."""
     return _pred_operators(
-        ms, unpack_theta(theta.astype(ms.dtype), ms.spec), parent_joint
+        ms, unpack_theta(theta.astype(ms.dtype), ms.spec), parent_joint,
+        coords_cache,
     )
 
 
-def _pred_operators(ms: ModelStatic, params, parent_joint) -> tuple:
+def _pred_operators(ms: ModelStatic, params, parent_joint,
+                    coords_cache=None) -> tuple:
     """Per-bucket (H, r) conditional operators for the prediction blocks,
-    given the deepest-reference joint inverse-Cholesky factors."""
+    given the deepest-reference joint inverse-Cholesky factors.
+    ``coords_cache`` (core.level_coords) supplies the static coordinate
+    gathers hoisted outside the caller's scan."""
 
-    def pred_body(carry, lvl, al=False):
-        cxr = ms.coords[lvl.rows]
-        mvr = ms.mv[lvl.rows]
-        cxp = ms.coords[lvl.prows]
-        mvp = ms.mv[lvl.prows]
+    def pred_body(carry, args, al=False):
+        lvl, cxr, mvr, cxp, mvp = args
         Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
         Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
         M, H, _ = _apply_parent_factor(parent_joint, lvl.lp_pos, Kxc, 1, al)
@@ -1204,8 +1246,17 @@ def _pred_operators(ms: ModelStatic, params, parent_joint) -> tuple:
         return carry, (H, r)
 
     out = []
-    for plvl, nc, al in zip(ms.pred_arrays, ms.pred_chunks, ms.pred_aligned):
-        _, (Hp, rp) = _run_level(plvl, nc, None, partial(pred_body, al=al))
+    for bi, (plvl, nc, al) in enumerate(
+        zip(ms.pred_arrays, ms.pred_chunks, ms.pred_aligned)
+    ):
+        if coords_cache is not None:
+            cx = coords_cache[1][bi]
+        else:
+            cx = (ms.coords[plvl.rows], ms.mv[plvl.rows],
+                  ms.coords[plvl.prows], ms.mv[plvl.prows])
+        _, (Hp, rp) = _run_level(
+            (plvl, *cx), nc, None, partial(pred_body, al=al)
+        )
         out.append(LevelData(H=Hp, prec=rp))  # prec slot holds variance r
     return tuple(out)
 
@@ -1647,7 +1698,7 @@ def predict(ms: ModelStatic, pred_data, w, key):
     return w
 
 
-def predict_recompute(ms: ModelStatic, theta, w, key):
+def predict_recompute(ms: ModelStatic, theta, w, key, coords_cache=None):
     """Prediction for the large-n regime (pred_in_carry False): re-propagate
     the reference-level factors for the current theta and rebuild the
     prediction operators chunk-by-chunk with the draw fused in (the full
@@ -1660,11 +1711,8 @@ def predict_recompute(ms: ModelStatic, theta, w, key):
     bigz = jax.random.normal(key, (ms.n + 1,), dtype=ms.dtype)
     wjs = _w_joints(ms, w, _wj_pred_need(ms))
 
-    def body(w, lvl, al=False):
-        cxr = ms.coords[lvl.rows]
-        mvr = ms.mv[lvl.rows]
-        cxp = ms.coords[lvl.prows]
-        mvp = ms.mv[lvl.prows]
+    def body(w, args, al=False):
+        lvl, cxr, mvr, cxp, mvp = args
         Kxc = _bcov(ms, params, cxp, mvp, cxr, mvr)
         Kxc = Kxc * (lvl.pmask[:, :, None] & lvl.rmask[:, None, :])
         M, H, _ = _apply_parent_factor(parent_joint, lvl.lp_pos, Kxc, 1, al)
@@ -1678,8 +1726,15 @@ def predict_recompute(ms: ModelStatic, theta, w, key):
         wu = jnp.where(lvl.rmask, mean + jnp.sqrt(r) * bigz[lvl.rows], 0.0)
         return w.at[lvl.rows].set(wu), None
 
-    for plvl, nc, al in zip(ms.pred_arrays, ms.pred_chunks, ms.pred_aligned):
-        w, _ = _run_level(plvl, nc, w, partial(body, al=al))
+    for bi, (plvl, nc, al) in enumerate(
+        zip(ms.pred_arrays, ms.pred_chunks, ms.pred_aligned)
+    ):
+        if coords_cache is not None:
+            cx = coords_cache[1][bi]
+        else:
+            cx = (ms.coords[plvl.rows], ms.mv[plvl.rows],
+                  ms.coords[plvl.prows], ms.mv[plvl.prows])
+        w, _ = _run_level((plvl, *cx), nc, w, partial(body, al=al))
     return w
 
 

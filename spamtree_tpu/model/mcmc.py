@@ -27,6 +27,7 @@ from spamtree_tpu.model.core import (
     gibbs_beta_tausq,
     gibbs_tausq,
     gibbs_w,
+    level_coords,
     msg_gram,
     gram_full,
     route_gram,
@@ -306,8 +307,14 @@ def stack_chain_states(state: MCMCState, seeds) -> MCMCState:
     return cached_compile(jax.jit(_stack).lower(state, seeds))(state, seeds)
 
 
-def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
-    """Build the single-iteration transition kernel (closure over statics)."""
+def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig,
+              coords_cache=None):
+    """Build the single-iteration transition kernel (closure over statics).
+
+    ``coords_cache`` (core.level_coords, built OUTSIDE the iteration scan
+    by the drivers) hoists the static per-level coordinate gathers out of
+    the while loop -- required under vmapped chains, where XLA fails to
+    hoist them itself (round-5 chains profile)."""
     bnds = jnp.asarray(bounds, dtype=ms.dtype)
     bvi = np.asarray(cfg.beta_Vi, dtype=np.float64)
     if bvi.ndim < 2:
@@ -348,11 +355,13 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             if accept_aware:
                 # decision-only: no factor/H/prec emission, no pred joint
                 new_logdet, ok, q_new, q_cur = sweep(
-                    ms, prop, w_sw, quad_prev=leveldata, decision_only=True
+                    ms, prop, w_sw, quad_prev=leveldata, decision_only=True,
+                    coords_cache=coords_cache,
                 )
             else:
                 new_ld, new_pj, new_logdet, ok, q_new, q_cur = sweep(
-                    ms, prop, w_sw, quad_prev=leveldata, emit_pred_joint=True
+                    ms, prop, w_sw, quad_prev=leveldata, emit_pred_joint=True,
+                    coords_cache=coords_cache,
                 )
             cur_ll = logdetCi + q_cur
             new_ll = new_logdet + q_new
@@ -402,7 +411,7 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                     prop_ = op
                     ld_, pj_, lg2, ok2 = sweep(
                         ms, prop_, w_sw, build_pred=refresh_pred,
-                        emit_pred_joint=True,
+                        emit_pred_joint=True, coords_cache=coords_cache,
                     )
 
                     def _install(_):
@@ -411,7 +420,8 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                             lg2,
                             ld_,
                             gram_full(ms, ld_) if use_gram else (),
-                            pred_operators_from_joint(ms, prop_, pj_)
+                            pred_operators_from_joint(
+                                ms, prop_, pj_, coords_cache)
                             if refresh_pred else None,
                         )
 
@@ -433,7 +443,8 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
                     return (
                         ld_,
                         gram_full(ms, ld_) if use_gram else (),
-                        pred_operators_from_joint(ms, prop_, pj_)
+                        pred_operators_from_joint(ms, prop_, pj_,
+                                                  coords_cache)
                         if refresh_pred else None,
                     )
 
@@ -464,11 +475,13 @@ def make_step(ms: ModelStatic, bounds: np.ndarray, cfg: MCMCConfig):
             if isinstance(predicting, bool):
                 if predicting:
                     w = (predict(ms, pred_data, w, kp) if ms.pred_in_carry
-                         else predict_recompute(ms, theta, w, kp))
+                         else predict_recompute(ms, theta, w, kp,
+                                                coords_cache))
             else:
                 pfn = ((lambda ww: predict(ms, pred_data, ww, kp))
                        if ms.pred_in_carry
-                       else (lambda ww: predict_recompute(ms, theta, ww, kp)))
+                       else (lambda ww: predict_recompute(ms, theta, ww, kp,
+                                                          coords_cache)))
                 w = jax.lax.cond(predicting, pfn, lambda ww: ww, w)
 
         tausq_inv = state.tausq_inv
@@ -1059,7 +1072,8 @@ def run_mcmc(
         ms.materialize_device()
 
     def _keep_body(m, carry, xs):
-        st = make_step(m, bounds, cfg)
+        # static coordinate gathers hoisted structurally outside the scan
+        st = make_step(m, bounds, cfg, coords_cache=level_coords(m))
 
         # yhat = XB + w + tau*z is reconstructed on the HOST from (w, beta,
         # tausq): the device->host link is the bottleneck at large n
@@ -1371,9 +1385,13 @@ def run_mcmc_chains(
 
     def _keep_body(m, carry, xs):
         # vmapped chains always resolve accept_aware=None to OFF: vmap
-        # turns the accept-cond into both-branches-always (see MCMCConfig)
+        # turns the accept-cond into both-branches-always (see MCMCConfig).
+        # The coords cache is built OUTSIDE the vmap+scan: XLA does not
+        # hoist these static gathers out of the vmapped while body itself
+        # (6.4 ms/iteration each at n=1e5 C=2, round-5 chains profile)
         st = make_step(m, bounds, cfg if cfg.accept_aware is not None
-                       else cfg._replace(accept_aware=False))
+                       else cfg._replace(accept_aware=False),
+                       coords_cache=level_coords(m))
         # predicting flag stays UNBATCHED under the chain vmap (in_axes
         # None), so lax.cond survives vmap as a cond: burn chunks skip the
         # prediction work at runtime, exactly as in the single-chain path

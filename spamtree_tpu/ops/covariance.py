@@ -191,10 +191,16 @@ def pairwise_cov(
     oh1 = jax.nn.one_hot(mv1, q, dtype=cx1.dtype)
     oh2 = jax.nn.one_hot(mv2, q, dtype=cx2.dtype)
     v = jnp.einsum("iq,qr,jr->ij", oh1, params.Dmat, oh2)
-    ai1_i = params.ai1[mv1][:, None]
-    ai1_j = params.ai1[mv2][None, :]
-    ai2_i = params.ai2[mv1][:, None]
-    phi_ii = params.phi_i[mv1][:, None]
+    # per-row theta-param lookups as one-hot contractions, NOT gathers:
+    # a[mv] depends on theta, so it cannot loop-hoist, and under the
+    # vmapped multi-chain step these gathers lowered to the pathological
+    # scalar-gather path (6.4 ms each per iteration at n=1e5 C=2 -- the
+    # round-5 chains profile).  The contraction is exact (one nonzero
+    # term) and fuses into the surrounding elementwise chain.
+    ai1_i = (oh1 @ params.ai1)[:, None]
+    ai1_j = (oh2 @ params.ai1)[None, :]
+    ai2_i = (oh1 @ params.ai2)[:, None]
+    phi_ii = (oh1 @ params.phi_i)[:, None]
     same = v == 0
     coef = jnp.where(same, ai1_i * ai1_i, ai1_i * ai1_j)
     nugget = jnp.where(same, ai2_i * ai2_i * jnp.exp(-phi_ii * h), 0.0)
@@ -214,8 +220,9 @@ def pairwise_cov_diag(
     if spec.model == 0 and spec.q == 1:
         return jnp.full(cx.shape[:-1], params.ai1[0], dtype=cx.dtype)
     zero = jnp.zeros(cx.shape[:-1], dtype=cx.dtype)
-    ai1 = params.ai1[mv]
-    ai2 = params.ai2[mv]
+    oh = jax.nn.one_hot(mv, params.ai1.shape[0], dtype=cx.dtype)
+    ai1 = oh @ params.ai1  # contraction, not gather (see pairwise_cov)
+    ai2 = oh @ params.ai2
     return ai1 * ai1 * _c_base(zero, zero, params.thetamv, spec.q) + ai2 * ai2
 
 
