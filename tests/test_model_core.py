@@ -355,3 +355,32 @@ def test_fused_beta_tausq_large_p_path():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(XB_f), np.asarray(XB_sep),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_coords_cache_sweep_parity():
+    """sweep(coords_cache=level_coords(ms)) must reproduce the gather-based
+    sweep bit-for-bit (the cache is a pure hoist of static gathers)."""
+    from spamtree_tpu.model.core import level_coords
+
+    ms, tree, sched, tspec, coords, mv, y, na = _setup(n=400, q=2, miss=0.1,
+                                                       seed=6)
+    rng = np.random.default_rng(2)
+    theta = jnp.asarray(tspec.start, jnp.float64)
+    w = jnp.asarray(np.append(rng.normal(size=ms.n) * 0.4, 0.0))
+    ld0, pd0, lg0, ok0 = jax.jit(lambda t: sweep(ms, t, w))(theta)
+    cc = level_coords(ms)
+    ldc, pdc, lgc, okc = jax.jit(
+        lambda t: sweep(ms, t, w, coords_cache=cc)
+    )(theta)
+    assert bool(ok0) and bool(okc)
+    np.testing.assert_array_equal(np.asarray(lg0), np.asarray(lgc))
+    for a, b in zip(jax.tree.leaves(ld0), jax.tree.leaves(ldc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    prop = theta * 1.05 + 0.01
+    r0 = jax.jit(lambda t: sweep(ms, t, w, quad_prev=ld0,
+                                 decision_only=True))(prop)
+    rc = jax.jit(lambda t: sweep(ms, t, w, quad_prev=ld0,
+                                 decision_only=True, coords_cache=cc))(prop)
+    for a, b in zip(r0, rc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
